@@ -1,0 +1,232 @@
+"""Graph container + one-time host-side preprocessing.
+
+TPU-first design notes
+----------------------
+The reference rebuilds its normalized adjacency every forward pass
+(`/root/reference/large/ours.py:25-34`: degree(), value, SparseTensor are
+recomputed per layer per step).  Here ALL graph structure work — making the
+graph undirected, self-loops, sorting edges by destination, and the GCN
+degree normalization — happens exactly once on the host in numpy, producing
+a static-shape :class:`Graph` pytree that lives in HBM for the whole run.
+The jitted train step then only consumes dense int32/float32 arrays.
+
+Edges are stored COO sorted by destination node, which makes the
+`segment_sum` aggregation path eligible for XLA's sorted-segment fast path
+and gives the Pallas SpMM kernel contiguous per-row-block edge ranges
+(CSR `indptr` is carried alongside).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "edge_src",
+        "edge_dst",
+        "gcn_weight",
+        "indptr",
+        "pyg_src",
+        "pyg_dst",
+        "pyg_weight",
+    ],
+    meta_fields=["num_nodes", "num_edges"],
+)
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Static-shape COO/CSR graph resident in device memory.
+
+    Attributes:
+      edge_src: [E] int32 source node of each edge, sorted by ``edge_dst``.
+      edge_dst: [E] int32 destination node of each edge (non-decreasing).
+      gcn_weight: [E] float32 symmetric-normalized edge weight
+        ``1/sqrt(d[dst]*d[src])`` with ``d`` the in-degree, matching the
+        reference GraphConvLayer math (``large/ours.py:27-32``).
+      indptr: [N+1] int32 CSR row pointers over the dst-sorted edges.
+      num_nodes / num_edges: static Python ints (shape metadata).
+    """
+
+    edge_src: jax.Array
+    edge_dst: jax.Array
+    gcn_weight: jax.Array
+    indptr: jax.Array
+    num_nodes: int
+    num_edges: int
+    # PyG `gcn_norm`-style edges (extra self-loops + weight-aware degrees),
+    # used by the medium-tier GCNConv backbone; None unless requested.
+    pyg_src: Optional[jax.Array] = None
+    pyg_dst: Optional[jax.Array] = None
+    pyg_weight: Optional[jax.Array] = None
+
+    @property
+    def edge_index(self):
+        return jnp.stack([self.edge_src, self.edge_dst])
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) edge-list transforms — run once, never inside jit.
+# ---------------------------------------------------------------------------
+
+
+def to_undirected(edge_index: np.ndarray) -> np.ndarray:
+    """Symmetrize and deduplicate an edge list [2, E] (reference:
+    ``torch_geometric.utils.to_undirected`` call at ``large/main.py:75``)."""
+    src, dst = edge_index
+    both = np.concatenate([np.stack([src, dst]), np.stack([dst, src])], axis=1)
+    return coalesce(both)
+
+
+def coalesce(edge_index: np.ndarray) -> np.ndarray:
+    """Sort by (dst, src) and remove duplicate edges."""
+    src, dst = edge_index
+    key = dst.astype(np.int64) * (max(int(src.max(initial=0)), int(dst.max(initial=0))) + 1) + src
+    order = np.argsort(key, kind="stable")
+    key = key[order]
+    keep = np.ones(len(key), dtype=bool)
+    keep[1:] = key[1:] != key[:-1]
+    return np.stack([src[order][keep], dst[order][keep]])
+
+
+def remove_self_loops(edge_index: np.ndarray) -> np.ndarray:
+    src, dst = edge_index
+    mask = src != dst
+    return np.stack([src[mask], dst[mask]])
+
+
+def add_self_loops(edge_index: np.ndarray, num_nodes: int) -> np.ndarray:
+    loop = np.arange(num_nodes, dtype=edge_index.dtype)
+    return np.concatenate([edge_index, np.stack([loop, loop])], axis=1)
+
+
+def in_degree(dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    return np.bincount(dst, minlength=num_nodes).astype(np.float64)
+
+
+def gcn_norm_weights(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """Per-edge ``1/sqrt(d_in[dst] * d_in[src])`` with inf/nan -> 0.
+
+    Matches ``large/ours.py:28-32``: degree is the IN-degree (count of dst
+    occurrences), indexed at both endpoints, and non-finite values (isolated
+    nodes) are zeroed.
+    """
+    d = in_degree(dst, num_nodes)
+    with np.errstate(divide="ignore"):
+        dinv = 1.0 / np.sqrt(d)
+    dinv[~np.isfinite(dinv)] = 0.0
+    return (dinv[dst] * dinv[src]).astype(np.float32)
+
+
+def sort_by_dst(edge_index: np.ndarray):
+    src, dst = edge_index
+    order = np.argsort(dst, kind="stable")
+    return src[order], dst[order]
+
+
+def build_indptr(dst_sorted: np.ndarray, num_nodes: int) -> np.ndarray:
+    counts = np.bincount(dst_sorted, minlength=num_nodes)
+    indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return indptr
+
+
+def preprocess_graph(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    *,
+    undirected: bool = True,
+    self_loops: bool = True,
+    with_pyg_norm: bool = False,
+    dtype=np.float32,
+) -> Graph:
+    """One-time preprocessing pipeline (reference: ``large/main.py:74-79``):
+    optionally symmetrize, then replace self-loops, then sort + normalize.
+
+    ``with_pyg_norm`` additionally precomputes PyG ``gcn_norm`` edges for
+    the medium-tier GCNConv backbone.
+    """
+    edge_index = np.asarray(edge_index)
+    if undirected:
+        edge_index = to_undirected(edge_index)
+    if self_loops:
+        edge_index = remove_self_loops(edge_index)
+        edge_index = add_self_loops(edge_index, num_nodes)
+    src, dst = sort_by_dst(edge_index)
+    weight = gcn_norm_weights(src, dst, num_nodes).astype(dtype)
+    indptr = build_indptr(dst, num_nodes)
+    pyg_src = pyg_dst = pyg_weight = None
+    if with_pyg_norm:
+        psrc, pdst, pw = pyg_gcn_norm(np.stack([src, dst]), num_nodes)
+        pyg_src = jnp.asarray(psrc, dtype=jnp.int32)
+        pyg_dst = jnp.asarray(pdst, dtype=jnp.int32)
+        pyg_weight = jnp.asarray(pw.astype(dtype))
+    return Graph(
+        edge_src=jnp.asarray(src, dtype=jnp.int32),
+        edge_dst=jnp.asarray(dst, dtype=jnp.int32),
+        gcn_weight=jnp.asarray(weight),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        num_nodes=int(num_nodes),
+        num_edges=int(len(src)),
+        pyg_src=pyg_src,
+        pyg_dst=pyg_dst,
+        pyg_weight=pyg_weight,
+    )
+
+
+def pyg_gcn_norm(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    *,
+    add_self_loops_: bool = True,
+    improved: bool = False,
+):
+    """PyG-style ``gcn_norm`` used by the medium-tier GCN backbone
+    (``medium/models.py:22-38`` via ``torch_geometric.nn.GCNConv``):
+    adds self-loops (fill 2 if ``improved``), degree from edge weights over
+    dst, weight ``dinv[src]*dinv[dst]``.  Returns (src, dst, weight) sorted
+    by dst.
+    """
+    edge_index = np.asarray(edge_index)
+    src, dst = edge_index
+    weight = np.ones(src.shape[0], dtype=np.float64)
+    if add_self_loops_:
+        fill = 2.0 if improved else 1.0
+        loop = np.arange(num_nodes, dtype=src.dtype)
+        src = np.concatenate([src, loop])
+        dst = np.concatenate([dst, loop])
+        weight = np.concatenate([weight, np.full(num_nodes, fill)])
+    deg = np.zeros(num_nodes, dtype=np.float64)
+    np.add.at(deg, dst, weight)
+    with np.errstate(divide="ignore"):
+        dinv = deg**-0.5
+    dinv[~np.isfinite(dinv)] = 0.0
+    weight = dinv[src] * weight * dinv[dst]
+    order = np.argsort(dst, kind="stable")
+    return (
+        src[order].astype(np.int32),
+        dst[order].astype(np.int32),
+        weight[order].astype(np.float32),
+    )
+
+
+def subgraph(
+    node_idx: np.ndarray, edge_index: np.ndarray, num_nodes: int
+) -> tuple[np.ndarray, int]:
+    """Relabeled node-induced subgraph (reference: PyG ``subgraph`` with
+    ``relabel_nodes=True`` at ``large/main-batch.py:139``).  Keeps edges with
+    BOTH endpoints in ``node_idx``; returns [2, E_sub] relabeled to
+    ``0..len(node_idx)-1`` and the subgraph node count."""
+    node_idx = np.asarray(node_idx)
+    mapping = np.full(num_nodes, -1, dtype=np.int64)
+    mapping[node_idx] = np.arange(len(node_idx))
+    src, dst = edge_index
+    mask = (mapping[src] >= 0) & (mapping[dst] >= 0)
+    sub = np.stack([mapping[src[mask]], mapping[dst[mask]]])
+    return sub, len(node_idx)

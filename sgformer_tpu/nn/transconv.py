@@ -1,0 +1,111 @@
+"""TransConv: the global linear-attention branch of SGFormer.
+
+Spec: ``/root/reference/medium/ours.py:49-177`` (medium/100M: alpha-blended
+residual), ``/root/reference/large/ours.py:96-238`` (large: averaged
+residual, optional activation).  One module covers all tiers via
+``residual_mode``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.ops.attention import linear_attention
+
+
+class TransConvLayer(nn.Module):
+    """QKV projections + linear global attention + mean over heads
+    (``medium/ours.py:49-100``)."""
+
+    out_channels: int
+    num_heads: int = 1
+    use_weight: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, query_input, source_input, output_attn: bool = False):
+        h, d = self.num_heads, self.out_channels
+        qs = TorchLinear(d * h, name="Wq")(query_input).reshape(-1, h, d)
+        ks = TorchLinear(d * h, name="Wk")(source_input).reshape(-1, h, d)
+        if self.use_weight:
+            vs = TorchLinear(d * h, name="Wv")(source_input).reshape(-1, h, d)
+        else:
+            # Reference reshapes to [N, 1, D] (medium/ours.py:84); only valid
+            # for num_heads == 1, matching the reference's implicit constraint.
+            vs = source_input.reshape(-1, 1, d)
+
+        if output_attn:
+            out, attn = linear_attention(
+                qs, ks, vs, output_attn=True, axis_name=self.axis_name
+            )
+            return out.mean(axis=1), attn
+        out = linear_attention(qs, ks, vs, axis_name=self.axis_name)
+        return out.mean(axis=1)
+
+
+class TransConv(nn.Module):
+    """Input MLP + stacked attention layers with residual/LN/dropout.
+
+    ``residual_mode``:
+      - ``"alpha"``: ``x = alpha*x + (1-alpha)*prev`` (medium/ours.py:152,
+        100M/ours.py:264)
+      - ``"mean"``:  ``x = (x + prev)/2``            (large/ours.py:211)
+    """
+
+    hidden_channels: int
+    num_layers: int = 2
+    num_heads: int = 1
+    alpha: float = 0.5
+    dropout: float = 0.5
+    use_bn: bool = True
+    use_residual: bool = True
+    use_weight: bool = True
+    use_act: bool = False
+    residual_mode: str = "alpha"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False, output_attn: bool = False):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+
+        x = TorchLinear(self.hidden_channels, name="fc_in")(x)
+        if self.use_bn:
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_in")(x)
+        x = nn.relu(x)
+        x = dropout(x)
+
+        prev = x
+        attns = []
+        for i in range(self.num_layers):
+            conv = TransConvLayer(
+                self.hidden_channels,
+                num_heads=self.num_heads,
+                use_weight=self.use_weight,
+                axis_name=self.axis_name,
+                name=f"conv_{i}",
+            )
+            if output_attn:
+                x, attn = conv(x, x, output_attn=True)
+                attns.append(attn)
+            else:
+                x = conv(x, x)
+            if self.use_residual:
+                if self.residual_mode == "alpha":
+                    x = self.alpha * x + (1.0 - self.alpha) * prev
+                else:
+                    x = (x + prev) / 2.0
+            if self.use_bn:
+                x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
+            if self.use_act:
+                x = nn.relu(x)
+            x = dropout(x)
+            prev = x
+
+        if output_attn:
+            return x, jnp.stack(attns, axis=0)  # [L, N, N]
+        return x

@@ -1,0 +1,220 @@
+"""Full-graph trainer: the TPU-native equivalent of ``large/main.py:107-156``
+and ``medium/main.py:126-201``.
+
+Everything per-step is ONE jit-compiled function (forward both branches,
+loss on the train indices, backward, Adam update, BN stat update) — the
+host only ever sees scalar losses and the periodic eval metrics.  Graph
+structure, degree norms, and split indices are device-resident and
+static-shape for the entire run, so XLA compiles exactly one train step and
+one eval step per run.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import freeze
+
+from sgformer_tpu.data.metrics import METRICS
+from sgformer_tpu.graph import Graph
+from sgformer_tpu.train.logger import RunLogger
+from sgformer_tpu.train.optim import dual_weight_decay_adam
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 0.01
+    trans_weight_decay: float = 1e-3
+    gnn_weight_decay: float = 1e-3
+    epochs: int = 100
+    eval_step: int = 1
+    patience: int = 0  # early-stop on valid metric (medium/main.py:185-191); 0=off
+    metric: str = "acc"
+    mode: str = "max_acc"
+    loss: str = "nll"  # 'nll' (log_softmax+NLL) | 'bce' (BCEWithLogits)
+    runs: int = 1
+    seed: int = 123
+    display_step: int = -1  # print every k epochs; -1 = silent
+
+
+def cross_entropy_loss(logits, labels, idx):
+    """log_softmax + NLL on the selected nodes (large/main.py:139-141)."""
+    logp = jax.nn.log_softmax(logits[idx])
+    return -jnp.take_along_axis(logp, labels[idx][:, None], axis=1).mean()
+
+
+def bce_loss(logits, labels_onehot, idx):
+    """BCEWithLogitsLoss on the selected nodes (large/main.py:134-137)."""
+    logit = logits[idx]
+    lab = labels_onehot[idx].astype(logit.dtype)
+    return optax.sigmoid_binary_cross_entropy(logit, lab).mean()
+
+
+class Trainer:
+    """Orchestrates N runs of (reset params → epoch loop → eval/selection).
+
+    Args:
+      model: a flax module whose ``__call__(x, graph, train=...)`` returns
+        [N, C] logits (SGFormer or any baseline in the zoo).
+      graph: preprocessed device-resident :class:`Graph`.
+      x: [N, F] float node features.
+      label: [N, 1] int labels (or [N, C] multilabel for bce).
+    """
+
+    def __init__(
+        self,
+        model,
+        graph: Graph,
+        x: np.ndarray,
+        label: np.ndarray,
+        config: TrainConfig,
+        eval_func: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.graph = graph
+        self.x = jnp.asarray(x)
+        self.config = config
+        self.eval_func = eval_func or METRICS[config.metric]
+        label = np.asarray(label)
+        self.label_np = label
+        if config.loss == "bce" and label.shape[1] == 1:
+            n_cls = int(label.max()) + 1
+            self.label_onehot = jnp.asarray(np.eye(n_cls)[label.reshape(-1)])
+        elif config.loss == "bce":
+            self.label_onehot = jnp.asarray(label)
+        self.label = jnp.asarray(label.reshape(-1).astype(np.int32))
+        self._train_step = None
+        self._eval_step = None
+
+    # -- state -------------------------------------------------------------
+
+    def init_state(self, rng):
+        variables = self.model.init({"params": rng}, self.x, self.graph, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", freeze({}))
+        tx = dual_weight_decay_adam(
+            params,
+            self.config.lr,
+            self.config.trans_weight_decay,
+            self.config.gnn_weight_decay,
+        )
+        opt_state = tx.init(params)
+        return {"params": params, "batch_stats": batch_stats}, tx, opt_state
+
+    # -- jitted steps --------------------------------------------------------
+
+    def _build_steps(self, tx):
+        cfg = self.config
+
+        def loss_fn(params, batch_stats, dropout_rng, train_idx):
+            variables = {"params": params, "batch_stats": batch_stats}
+            out, mutated = self.model.apply(
+                variables,
+                self.x,
+                self.graph,
+                train=True,
+                rngs={"dropout": dropout_rng},
+                mutable=["batch_stats"],
+            )
+            if cfg.loss == "bce":
+                loss = bce_loss(out, self.label_onehot, train_idx)
+            else:
+                loss = cross_entropy_loss(out, self.label, train_idx)
+            return loss, mutated["batch_stats"]
+
+        @jax.jit
+        def train_step(state, opt_state, dropout_rng, train_idx):
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], state["batch_stats"], dropout_rng, train_idx
+            )
+            updates, opt_state = tx.update(grads, opt_state, state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "batch_stats": new_bs}, opt_state, loss
+
+        @jax.jit
+        def eval_step(state):
+            variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
+            return self.model.apply(variables, self.x, self.graph, train=False)
+
+        return train_step, eval_step
+
+    # -- evaluation ----------------------------------------------------------
+
+    def evaluate(self, out: np.ndarray, split_idx: dict) -> tuple:
+        """Host-side metric computation mirroring ``large/eval.py:7-33``."""
+        res = []
+        for split in ("train", "valid", "test"):
+            idx = split_idx[split]
+            res.append(self.eval_func(self.label_np[idx], out[idx]))
+        # valid loss
+        vidx = split_idx["valid"]
+        logits = out[vidx]
+        if self.config.loss == "bce":
+            lab = np.asarray(self.label_onehot)[vidx]
+            z = np.clip(logits, -30, 30)
+            vloss = float(
+                np.mean(np.maximum(z, 0) - z * lab + np.log1p(np.exp(-np.abs(z))))
+            )
+        else:
+            logp = logits - _logsumexp(logits)
+            vloss = float(-logp[np.arange(len(vidx)), self.label_np[vidx].reshape(-1)].mean())
+        res.append(vloss)
+        return tuple(res)
+
+    # -- main loop -----------------------------------------------------------
+
+    def fit(self, split_idx_lst: list[dict], rng: Optional[jax.Array] = None):
+        """Run ``config.runs`` training runs; returns the RunLogger."""
+        cfg = self.config
+        logger = RunLogger(cfg.runs, mode=cfg.mode)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+
+        for run in range(cfg.runs):
+            split_idx = split_idx_lst[run % len(split_idx_lst)]
+            train_idx = jnp.asarray(np.asarray(split_idx["train"], dtype=np.int32))
+            rng, init_rng = jax.random.split(rng)
+            state, tx, opt_state = self.init_state(init_rng)
+            if self._train_step is None:
+                self._train_step, self._eval_step = self._build_steps(tx)
+            best_val = float("-inf")
+            patience_ctr = 0
+
+            for epoch in range(cfg.epochs):
+                rng, drop_rng = jax.random.split(rng)
+                state, opt_state, loss = self._train_step(
+                    state, opt_state, drop_rng, train_idx
+                )
+                if epoch % cfg.eval_step == 0:
+                    out = np.asarray(self._eval_step(state))
+                    result = self.evaluate(out, split_idx)
+                    logger.add_result(run, result)
+                    if cfg.display_step > 0 and epoch % cfg.display_step == 0:
+                        print(
+                            f"Epoch: {epoch:02d}, Loss: {float(loss):.4f}, "
+                            f"Train: {100 * result[0]:.2f}%, "
+                            f"Valid: {100 * result[1]:.2f}%, "
+                            f"Test: {100 * result[2]:.2f}%"
+                        )
+                    if cfg.patience > 0:
+                        if result[1] > best_val:
+                            best_val = result[1]
+                            patience_ctr = 0
+                        else:
+                            patience_ctr += 1
+                            if patience_ctr >= cfg.patience:
+                                break
+            if cfg.display_step >= 0:
+                logger.print_statistics(run)
+        return logger
+
+
+def _logsumexp(x):
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))

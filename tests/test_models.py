@@ -1,0 +1,160 @@
+"""Model-level parity (pinned weights vs the numpy oracle of the reference
+equations) and shape/grad sanity for every SGFormer variant."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgformer_tpu.graph import preprocess_graph
+from sgformer_tpu.nn import GCN, GraphConv, SGFormer, SGFormerConfig, TransConv
+
+import reference_numpy as ref
+
+
+def _np_params(tree):
+    return jax.tree_util.tree_map(np.asarray, jax.device_get(tree))
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    rng = np.random.default_rng(7)
+    n = 48
+    edge_index = ref.random_graph(rng, n, 200)
+    g = preprocess_graph(edge_index, n, with_pyg_norm=True)
+    x = rng.standard_normal((n, 24)).astype(np.float32)
+    return g, x
+
+
+@pytest.mark.parametrize(
+    "num_layers,heads,residual_mode,use_act",
+    [(1, 1, "mean", True), (2, 2, "alpha", False), (3, 1, "alpha", False)],
+)
+def test_transconv_parity(small_graph, num_layers, heads, residual_mode, use_act):
+    g, x = small_graph
+    model = TransConv(
+        hidden_channels=16,
+        num_layers=num_layers,
+        num_heads=heads,
+        use_act=use_act,
+        residual_mode=residual_mode,
+    )
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+
+    p = _np_params(variables["params"])
+    # flatten nested layer params to oracle layout
+    params = {"fc_in": p["fc_in"], "ln_in": p["ln_in"]}
+    for i in range(num_layers):
+        params[f"conv_{i}"] = p[f"conv_{i}"]
+        params[f"ln_{i}"] = p[f"ln_{i}"]
+    want = ref.trans_conv(
+        x.astype(np.float64),
+        params,
+        num_layers,
+        heads,
+        use_act=use_act,
+        residual_mode=residual_mode,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_transconv_no_weight(small_graph):
+    g, x = small_graph
+    model = TransConv(hidden_channels=24, num_layers=1, use_weight=False)
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(x), train=False)
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    assert got.shape == (x.shape[0], 24)
+    assert np.all(np.isfinite(got))
+
+
+@pytest.mark.parametrize("use_init", [False, True])
+def test_graphconv_parity(small_graph, use_init):
+    g, x = small_graph
+    model = GraphConv(hidden_channels=16, num_layers=2, use_init=use_init)
+    variables = model.init(
+        jax.random.PRNGKey(2), jnp.asarray(x), g, train=False
+    )
+    # train-mode forward (batch stats) matches torch BN train semantics;
+    # dropout disabled via deterministic rng not needed at rate 0.5 — use eval
+    # with explicit train BN by testing through the oracle's train path on a
+    # dropout-free config instead:
+    model_nodrop = GraphConv(
+        hidden_channels=16, num_layers=2, use_init=use_init, dropout=0.0
+    )
+    got, _ = model_nodrop.apply(
+        variables,
+        jnp.asarray(x),
+        g,
+        train=True,
+        mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(3)},
+    )
+    got = np.asarray(got)
+
+    p = _np_params(variables["params"])
+    adj = ref.gcn_adj_dense(np.asarray(g.edge_src), np.asarray(g.edge_dst), g.num_nodes)
+    want = ref.graph_conv(
+        x.astype(np.float64), adj, p, num_layers=2, use_init=use_init, train=True
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_gcn_backbone_shapes(small_graph):
+    g, x = small_graph
+    model = GCN(hidden_channels=16, out_channels=5, num_layers=3)
+    variables = model.init(jax.random.PRNGKey(4), jnp.asarray(x), g, train=False)
+    out = np.asarray(model.apply(variables, jnp.asarray(x), g, train=False))
+    assert out.shape == (x.shape[0], 5)
+    assert np.all(np.isfinite(out))
+
+
+@pytest.mark.parametrize(
+    "cfg_fn", [SGFormerConfig.medium, SGFormerConfig.large, SGFormerConfig.papers100m]
+)
+def test_sgformer_tiers_forward_and_grad(small_graph, cfg_fn):
+    g, x = small_graph
+    cfg = cfg_fn(16, 5)
+    model = SGFormer(cfg)
+    variables = model.init(jax.random.PRNGKey(5), jnp.asarray(x), g, train=False)
+    out = np.asarray(model.apply(variables, jnp.asarray(x), g, train=False))
+    assert out.shape == (x.shape[0], 5)
+    assert np.all(np.isfinite(out))
+
+    def loss(params):
+        logits, _ = model.apply(
+            {"params": params, **{k: v for k, v in variables.items() if k != "params"}},
+            jnp.asarray(x),
+            g,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(6)},
+        )
+        return (logits**2).mean()
+
+    grads = jax.grad(loss)(variables["params"])
+    flat = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in flat)
+    # every branch receives gradient
+    assert any(float(jnp.abs(l).sum()) > 0 for l in flat)
+
+
+def test_sgformer_aggregate_cat(small_graph):
+    g, x = small_graph
+    cfg = SGFormerConfig.large(16, 5, aggregate="cat")
+    model = SGFormer(cfg)
+    variables = model.init(jax.random.PRNGKey(7), jnp.asarray(x), g, train=False)
+    out = model.apply(variables, jnp.asarray(x), g, train=False)
+    assert out.shape == (x.shape[0], 5)
+
+
+def test_sgformer_attention_maps(small_graph):
+    g, x = small_graph
+    cfg = SGFormerConfig.medium(16, 5, trans_num_layers=2)
+    model = SGFormer(cfg)
+    variables = model.init(jax.random.PRNGKey(8), jnp.asarray(x), g, train=False)
+    attns = model.apply(
+        variables, jnp.asarray(x), method=SGFormer.get_attentions
+    )
+    assert attns.shape == (2, x.shape[0], x.shape[0])
