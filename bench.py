@@ -1,0 +1,94 @@
+"""Benchmark harness: edges/sec/chip on the full jitted SGFormer train step.
+
+Workload: an ogbn-arxiv-shaped synthetic graph (169,343 nodes; directed
+edges symmetrized + self-loops like ``/root/reference/large/main.py:74-79``)
+with the published arxiv recipe's model shape (hidden 256, 1 attention
+layer, 3 GCN layers, ``large/run.sh:1-5``).  The metric counts processed
+edges per wall-second of the COMPLETE train step (both branches fwd+bwd,
+loss, Adam update, BN stats) — the reference's own benchmark harness
+(``medium/time_test.py:218-228``) measures the same loop at the epoch level
+but never committed numbers, so the baseline here is this framework's first
+recorded TPU measurement (``bench_baseline.json``), making ``vs_baseline``
+a cross-round progress ratio.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train.optim import dual_weight_decay_adam
+    from sgformer_tpu.train.trainer import TrainConfig, Trainer
+
+    num_nodes = 169_343
+    num_directed_edges = 1_166_243
+    ds = synthetic_dataset(
+        num_nodes=num_nodes,
+        num_edges=num_directed_edges,
+        num_features=128,
+        num_classes=40,
+        seed=0,
+    )
+    graph = preprocess_graph(ds.graph["edge_index"], num_nodes)
+
+    cfg = SGFormerConfig.large(
+        256, 40, trans_num_layers=1, gnn_num_layers=3, graph_weight=0.5
+    )
+    model = SGFormer(cfg)
+    tc = TrainConfig(lr=1e-3, trans_weight_decay=0.0, gnn_weight_decay=0.0)
+    trainer = Trainer(model, graph, ds.graph["node_feat"], ds.label, tc)
+
+    rng = jax.random.PRNGKey(0)
+    state, tx, opt_state = trainer.init_state(rng)
+    train_step, _ = trainer._build_steps(tx)
+    train_idx = jnp.asarray(np.arange(0, num_nodes, 2, dtype=np.int32))
+
+    # warmup / compile
+    state, opt_state, loss = train_step(state, opt_state, rng, train_idx)
+    jax.block_until_ready(loss)
+
+    steps = 30
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rng, drop = jax.random.split(rng)
+        state, opt_state, loss = train_step(state, opt_state, drop, train_idx)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    edges_per_sec = graph.num_edges * steps / dt
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f).get("edges_per_sec")
+    vs_baseline = edges_per_sec / baseline if baseline else 1.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "sgformer_arxiv_trainstep_edges_per_sec_per_chip",
+                "value": round(edges_per_sec, 1),
+                "unit": "edges/s/chip",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

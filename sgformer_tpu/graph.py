@@ -70,6 +70,23 @@ class Graph:
     def edge_index(self):
         return jnp.stack([self.edge_src, self.edge_dst])
 
+    def propagate(self, x: jax.Array, kind: str = "gcn") -> jax.Array:
+        """A_norm @ x — the GCN aggregation.  ``kind='gcn'`` uses the
+        GraphConvLayer normalization (``large/ours.py:27-34``); ``'pyg'``
+        uses PyG ``gcn_norm`` edges (medium-tier GCNConv).  The sharded
+        counterpart is :meth:`sgformer_tpu.parallel.ShardGraph.propagate` —
+        model code is agnostic to which it gets."""
+        from sgformer_tpu.ops.spmm import spmm
+
+        if kind == "gcn":
+            return spmm(
+                x, self.edge_src, self.edge_dst, self.gcn_weight, self.num_nodes
+            )
+        assert self.pyg_src is not None, (
+            "pyg edges missing: preprocess_graph(..., with_pyg_norm=True)"
+        )
+        return spmm(x, self.pyg_src, self.pyg_dst, self.pyg_weight, self.num_nodes)
+
 
 # ---------------------------------------------------------------------------
 # Host-side (numpy) edge-list transforms — run once, never inside jit.

@@ -5,16 +5,17 @@ Spec: ``/root/reference/medium/models.py:14-63`` — a stack of PyG
 zero-init bias added after aggregation) with BatchNorm/ReLU/dropout between
 layers and a plain final conv.  The gcn_norm edge weights (self-loops added
 on top of the preprocessed graph, as PyG does internally) are precomputed
-once — ``Graph.pyg_*`` fields.
+once — ``Graph.pyg_*`` fields (or their sharded counterparts).
 """
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sgformer_tpu.graph import Graph
-from sgformer_tpu.ops.spmm import spmm
+from sgformer_tpu.nn.norm import MaskedBatchNorm
 
 
 class GCNConv(nn.Module):
@@ -23,10 +24,7 @@ class GCNConv(nn.Module):
     features: int
 
     @nn.compact
-    def __call__(self, x, graph: Graph):
-        assert graph.pyg_src is not None, (
-            "GCNConv needs preprocess_graph(..., with_pyg_norm=True)"
-        )
+    def __call__(self, x, graph):
         kernel = self.param(
             "kernel",
             nn.initializers.glorot_uniform(),
@@ -34,9 +32,7 @@ class GCNConv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         x = jnp.dot(x, kernel.astype(x.dtype))
-        x = spmm(
-            x, graph.pyg_src, graph.pyg_dst, graph.pyg_weight, graph.num_nodes
-        )
+        x = graph.propagate(x, kind="pyg")
         return x + bias.astype(x.dtype)
 
 
@@ -50,18 +46,18 @@ class GCN(nn.Module):
     num_layers: int = 2
     dropout: float = 0.5
     use_bn: bool = True
+    axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, graph: Graph, *, train: bool = False):
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
         dropout = nn.Dropout(self.dropout, deterministic=not train)
         dims = [self.hidden_channels] * (self.num_layers - 1) + [self.out_channels]
         for i, d in enumerate(dims[:-1]):
             x = GCNConv(d, name=f"conv_{i}")(x, graph)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn_{i}",
-                )(x)
+                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                    x, train=train, node_mask=node_mask
+                )
             x = nn.relu(x)
             x = dropout(x)
         x = GCNConv(dims[-1], name=f"conv_{len(dims) - 1}")(x, graph)

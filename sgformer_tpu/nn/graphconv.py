@@ -6,7 +6,9 @@ adjacency EVERY forward (``large/ours.py:27-33``); here the symmetric
 coefficient ``1/sqrt(d_in[dst]·d_in[src])`` is precomputed once on the host
 (:func:`sgformer_tpu.graph.gcn_norm_weights`) and carried in the
 :class:`~sgformer_tpu.graph.Graph` pytree — same math, zero per-step
-structure work.
+structure work.  Under a node-sharded mesh the module receives a
+``ShardGraph`` instead and the aggregation includes the cross-shard
+feature exchange; BatchNorm statistics are psum'd over the mesh axis.
 """
 
 from __future__ import annotations
@@ -16,9 +18,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sgformer_tpu.graph import Graph
 from sgformer_tpu.nn.layers import TorchLinear
-from sgformer_tpu.ops.spmm import spmm
+from sgformer_tpu.nn.norm import MaskedBatchNorm
 
 
 class GraphConvLayer(nn.Module):
@@ -30,10 +31,8 @@ class GraphConvLayer(nn.Module):
     use_init: bool = False
 
     @nn.compact
-    def __call__(self, x, graph: Graph, x0):
-        x = spmm(
-            x, graph.edge_src, graph.edge_dst, graph.gcn_weight, graph.num_nodes
-        )
+    def __call__(self, x, graph, x0):
+        x = graph.propagate(x, kind="gcn")
         if self.use_init:
             x = jnp.concatenate([x, x0], axis=1)
             x = TorchLinear(self.out_channels, name="W")(x)
@@ -54,17 +53,20 @@ class GraphConv(nn.Module):
     use_weight: bool = True
     use_init: bool = False
     use_act: bool = True
+    axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, graph: Graph, *, train: bool = False):
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
         dropout = nn.Dropout(self.dropout, deterministic=not train)
+
+        def bn(h, name):
+            return MaskedBatchNorm(axis_name=self.axis_name, name=name)(
+                h, train=train, node_mask=node_mask
+            )
 
         x = TorchLinear(self.hidden_channels, name="fc_in")(x)
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                name="bn_in",
-            )(x)
+            x = bn(x, "bn_in")
         x = nn.relu(x)
         x = dropout(x)
 
@@ -80,10 +82,7 @@ class GraphConv(nn.Module):
                 name=f"conv_{i}",
             )(x, graph, x0)
             if self.use_bn:
-                x = nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"bn_{i}",
-                )(x)
+                x = bn(x, f"bn_{i}")
             if self.use_act:
                 x = nn.relu(x)
             x = dropout(x)

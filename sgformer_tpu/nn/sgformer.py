@@ -118,6 +118,7 @@ class SGFormer(nn.Module):
                 use_weight=cfg.gnn_use_weight,
                 use_init=cfg.gnn_use_init,
                 use_act=cfg.gnn_use_act,
+                axis_name=cfg.axis_name,
             )
         elif cfg.gnn == "gcn":
             self.gcn = GCN(
@@ -126,19 +127,20 @@ class SGFormer(nn.Module):
                 num_layers=cfg.gnn_num_layers,
                 dropout=cfg.gnn_dropout,
                 use_bn=cfg.gnn_use_bn,
+                axis_name=cfg.axis_name,
             )
         elif cfg.gnn != "none":
             raise ValueError(f"Invalid gnn type: {cfg.gnn}")
         self.fc = TorchLinear(cfg.out_channels)
 
-    def __call__(self, x, graph: Graph, *, train: bool = False):
+    def __call__(self, x, graph: Graph, *, train: bool = False, node_mask=None):
         cfg = self.config
-        x1 = self.trans_conv(x, train=train)
+        x1 = self.trans_conv(x, train=train, node_mask=node_mask)
 
         if cfg.gnn == "graphconv":
-            x2 = self.graph_conv(x, graph, train=train)
+            x2 = self.graph_conv(x, graph, train=train, node_mask=node_mask)
         elif cfg.gnn == "gcn":
-            x2 = self.gcn(x, graph, train=train)
+            x2 = self.gcn(x, graph, train=train, node_mask=node_mask)
         else:
             x2 = None
 

@@ -28,7 +28,9 @@ class TransConvLayer(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, query_input, source_input, output_attn: bool = False):
+    def __call__(
+        self, query_input, source_input, output_attn: bool = False, node_mask=None
+    ):
         h, d = self.num_heads, self.out_channels
         qs = TorchLinear(d * h, name="Wq")(query_input).reshape(-1, h, d)
         ks = TorchLinear(d * h, name="Wk")(source_input).reshape(-1, h, d)
@@ -41,10 +43,13 @@ class TransConvLayer(nn.Module):
 
         if output_attn:
             out, attn = linear_attention(
-                qs, ks, vs, output_attn=True, axis_name=self.axis_name
+                qs, ks, vs, output_attn=True, axis_name=self.axis_name,
+                node_mask=node_mask,
             )
             return out.mean(axis=1), attn
-        out = linear_attention(qs, ks, vs, axis_name=self.axis_name)
+        out = linear_attention(
+            qs, ks, vs, axis_name=self.axis_name, node_mask=node_mask
+        )
         return out.mean(axis=1)
 
 
@@ -70,7 +75,9 @@ class TransConv(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False, output_attn: bool = False):
+    def __call__(
+        self, x, *, train: bool = False, output_attn: bool = False, node_mask=None
+    ):
         dropout = nn.Dropout(self.dropout, deterministic=not train)
 
         x = TorchLinear(self.hidden_channels, name="fc_in")(x)
@@ -90,10 +97,10 @@ class TransConv(nn.Module):
                 name=f"conv_{i}",
             )
             if output_attn:
-                x, attn = conv(x, x, output_attn=True)
+                x, attn = conv(x, x, output_attn=True, node_mask=node_mask)
                 attns.append(attn)
             else:
-                x = conv(x, x)
+                x = conv(x, x, node_mask=node_mask)
             if self.use_residual:
                 if self.residual_mode == "alpha":
                     x = self.alpha * x + (1.0 - self.alpha) * prev

@@ -34,6 +34,7 @@ def linear_attention(
     vs: jax.Array,
     output_attn: bool = False,
     axis_name: Optional[str] = None,
+    node_mask: Optional[jax.Array] = None,
 ):
     """SGFormer linear attention.
 
@@ -46,12 +47,24 @@ def linear_attention(
         map (only feasible for small graphs; ``medium/ours.py:37-40``).
       axis_name: if set, the node dimension is sharded over this mesh axis;
         all cross-node sums are reduced with one fused ``psum``.
+      node_mask: [N] 0/1 validity mask for padded node rows (static-shape
+        sharding pads N).  Masked rows contribute nothing to the global
+        norms / kv sums, and N in the ``+N·v`` identity term becomes the
+        true (global) count of real nodes.
 
     Returns:
       [N, H, D] attention output (and optionally the [N, L] map).
     """
     compute_dtype = qs.dtype
-    n_local = qs.shape[0]
+
+    if node_mask is not None:
+        m = node_mask.astype(qs.dtype)[:, None, None]
+        qs = qs * m
+        ks = ks * m
+        vs = vs * m
+        n_local = jnp.sum(node_mask.astype(jnp.float32))
+    else:
+        n_local = jnp.asarray(qs.shape[0], jnp.float32)
 
     # Global Frobenius norms (sum over EVERY element of the tensor).
     q_sq = jnp.sum(jnp.square(qs.astype(jnp.float32)))
@@ -62,8 +75,9 @@ def linear_attention(
     ks_sum = jnp.sum(ks.astype(jnp.float32), axis=0)  # [H, M]
 
     if axis_name is not None:
-        n_total = n_local * jax.lax.psum(1, axis_name)
-        q_sq, k_sq, kvs, ks_sum = jax.lax.psum((q_sq, k_sq, kvs, ks_sum), axis_name)
+        n_total, q_sq, k_sq, kvs, ks_sum = jax.lax.psum(
+            (n_local, q_sq, k_sq, kvs, ks_sum), axis_name
+        )
     else:
         n_total = n_local
 

@@ -168,6 +168,11 @@ class Trainer:
         res.append(vloss)
         return tuple(res)
 
+    def _prepare_train_idx(self, split_idx):
+        """What the jitted train step receives for the train split; the
+        sharded trainer overrides this to a padded node mask."""
+        return jnp.asarray(np.asarray(split_idx["train"], dtype=np.int32))
+
     # -- main loop -----------------------------------------------------------
 
     def fit(self, split_idx_lst: list[dict], rng: Optional[jax.Array] = None):
@@ -178,7 +183,7 @@ class Trainer:
 
         for run in range(cfg.runs):
             split_idx = split_idx_lst[run % len(split_idx_lst)]
-            train_idx = jnp.asarray(np.asarray(split_idx["train"], dtype=np.int32))
+            train_idx = self._prepare_train_idx(split_idx)
             rng, init_rng = jax.random.split(rng)
             state, tx, opt_state = self.init_state(init_rng)
             if self._train_step is None:

@@ -1,0 +1,186 @@
+"""Sharded-vs-single-device equality: forward logits, loss, gradients, and a
+full train step must match bit-for-bit semantics (allclose) between the
+unsharded path and the 8-way node-sharded shard_map path on the virtual CPU
+mesh (SURVEY.md §4(d))."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sgformer_tpu.graph import preprocess_graph
+from sgformer_tpu.nn import SGFormer, SGFormerConfig
+from sgformer_tpu.parallel import make_mesh, partition_graph
+from sgformer_tpu.parallel.partition import idx_to_mask, node_mask_for, pad_to_shards
+from sgformer_tpu.parallel.sharded import ShardedTrainer, make_sharded_steps
+from sgformer_tpu.train.optim import dual_weight_decay_adam
+from sgformer_tpu.train.trainer import TrainConfig, Trainer
+
+import reference_numpy as ref
+
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(11)
+    n = 50  # deliberately NOT divisible by 8 — exercises padding
+    edge_index = ref.random_graph(rng, n, 300)
+    g = preprocess_graph(edge_index, n, with_pyg_norm=True)
+    x = rng.standard_normal((n, 12)).astype(np.float32)
+    label = rng.integers(0, 4, n).reshape(-1, 1)
+    return g, x, label
+
+
+def _single_device_logits(model, variables, x, g, node_mask=None):
+    return np.asarray(
+        model.apply(variables, jnp.asarray(x), g, train=False)
+    )
+
+
+@pytest.mark.parametrize("gnn", ["graphconv", "gcn"])
+def test_sharded_forward_matches_single(problem, gnn):
+    g, x, label = problem
+    mesh = make_mesh((N_DEV,), ("sp",))
+
+    cfg = SGFormerConfig(16, 4, gnn=gnn, trans_num_layers=2)
+    cfg_sp = SGFormerConfig(16, 4, gnn=gnn, trans_num_layers=2, axis_name="sp")
+    model = SGFormer(cfg)
+    model_sp = SGFormer(cfg_sp)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), g, train=False)
+    want = _single_device_logits(model, variables, x, g)
+
+    sg = partition_graph(g, N_DEV, "sp")
+    x_pad = jnp.asarray(pad_to_shards(x, sg.total_nodes))
+    nmask = jnp.asarray(node_mask_for(g.num_nodes, sg.total_nodes))
+
+    def eval_core(params, batch_stats, xp, gg, nm):
+        gg = gg.local()
+        return model_sp.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xp, gg, train=False, node_mask=nm,
+        )
+
+    eval_step = jax.jit(
+        jax.shard_map(
+            eval_core,
+            mesh=mesh,
+            in_specs=(P(), P(), P("sp", None), P("sp"), P("sp")),
+            out_specs=P("sp", None),
+            check_vma=False,
+        )
+    )
+    got = np.asarray(
+        eval_step(variables["params"], variables.get("batch_stats", {}), x_pad, sg, nmask)
+    )[: g.num_nodes]
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_sharded_train_step_matches_single(problem):
+    g, x, label = problem
+    mesh = make_mesh((N_DEV,), ("sp",))
+    cfg = SGFormerConfig(16, 4, gnn="graphconv", trans_dropout=0.0, gnn_dropout=0.0)
+    cfg_sp = SGFormerConfig(
+        16, 4, gnn="graphconv", trans_dropout=0.0, gnn_dropout=0.0, axis_name="sp"
+    )
+    model, model_sp = SGFormer(cfg), SGFormer(cfg_sp)
+
+    variables = model.init(jax.random.PRNGKey(1), jnp.asarray(x), g, train=False)
+    params0 = variables["params"]
+    bs0 = variables.get("batch_stats", {})
+    tx = dual_weight_decay_adam(params0, 0.01, 1e-3, 5e-4)
+    opt0 = tx.init(params0)
+
+    train_idx = np.arange(0, g.num_nodes, 2)
+    lab = jnp.asarray(np.asarray(label).reshape(-1).astype(np.int32))
+
+    # ---- single-device step (no dropout so RNG is irrelevant) ----
+    def loss_fn(p, bs):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": bs},
+            jnp.asarray(x), g, train=True,
+            rngs={"dropout": jax.random.PRNGKey(0)}, mutable=["batch_stats"],
+        )
+        logp = jax.nn.log_softmax(out)
+        per = -jnp.take_along_axis(logp, lab[:, None], axis=1)[:, 0]
+        return per[jnp.asarray(train_idx)].mean(), mut["batch_stats"]
+
+    (loss1, bs1), grads1 = jax.value_and_grad(loss_fn, has_aux=True)(params0, bs0)
+    upd1, optA = tx.update(grads1, opt0, params0)
+    params1 = jax.tree_util.tree_map(lambda a, b: a + b, params0, upd1)
+
+    # ---- sharded step ----
+    sg = partition_graph(g, N_DEV, "sp")
+    x_pad = jnp.asarray(pad_to_shards(x, sg.total_nodes))
+    nmask = jnp.asarray(node_mask_for(g.num_nodes, sg.total_nodes))
+    tmask = jnp.asarray(idx_to_mask(train_idx, sg.total_nodes))
+    lab_pad = jnp.asarray(
+        pad_to_shards(np.asarray(label).reshape(-1).astype(np.int32), sg.total_nodes)
+    )
+    train_step, _ = make_sharded_steps(model_sp, tx, mesh, "sp")
+    params2, bs2, opt2, loss2 = train_step(
+        params0, bs0, opt0, jax.random.PRNGKey(0), tmask, x_pad, sg, lab_pad, nmask
+    )
+
+    assert np.allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs1), jax.tree_util.tree_leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5)
+
+    # Gradients must match (Adam at step 1 maps any near-zero grad element to
+    # ±lr, so post-update params are NOT a stable comparison target — the
+    # grads and the loss are).
+    def grad_core(p, bs, rng, tm, xp, gg, lb, nm):
+        gg = gg.local()
+
+        def lf(p):
+            out, _ = model_sp.apply(
+                {"params": p, "batch_stats": bs}, xp, gg, train=True,
+                node_mask=nm, rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            logp = jax.nn.log_softmax(out)
+            per = -jnp.take_along_axis(logp, lb[:, None], axis=1)[:, 0]
+            m = tm.astype(jnp.float32)
+            s, c = jax.lax.psum((jnp.sum(per * m), jnp.sum(m)), "sp")
+            return s / c
+
+        return jax.lax.pmean(jax.grad(lf)(p), "sp")
+
+    grad_fn = jax.jit(
+        jax.shard_map(
+            grad_core, mesh=mesh,
+            in_specs=(P(), P(), P(), P("sp"), P("sp", None), P("sp"), P("sp"), P("sp")),
+            out_specs=P(), check_vma=False,
+        )
+    )
+    grads2 = grad_fn(
+        params0, bs0, jax.random.PRNGKey(0), tmask, x_pad, sg, lab_pad, nmask
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(grads1), jax.tree_util.tree_leaves(grads2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_trainer_learns(problem):
+    """End-to-end: the sharded trainer fits a learnable synthetic task."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset(num_nodes=200, num_edges=1600, num_features=16,
+                           num_classes=4, seed=3)
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    cfg = SGFormerConfig(32, 4, gnn="graphconv", axis_name="sp",
+                         trans_dropout=0.1, gnn_dropout=0.1)
+    model = SGFormer(cfg)
+    tc = TrainConfig(lr=0.01, epochs=30, eval_step=5, runs=1, display_step=-1)
+    trainer = ShardedTrainer(
+        model, g, ds.graph["node_feat"], ds.label, tc,
+        mesh=make_mesh((N_DEV,), ("sp",)),
+    )
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    stats = logger.run_summary(0)
+    assert stats["final_test"] > 0.5  # well above 0.25 chance
