@@ -43,7 +43,7 @@ def main():
         num_classes=40,
         seed=0,
     )
-    graph = preprocess_graph(ds.graph["edge_index"], num_nodes)
+    graph = preprocess_graph(ds.graph["edge_index"], num_nodes, with_chunks=True)
 
     cfg = SGFormerConfig.large(
         256, 40, trans_num_layers=1, gnn_num_layers=3, graph_weight=0.5

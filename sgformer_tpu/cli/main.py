@@ -1,0 +1,181 @@
+"""CLI entry point — the TPU equivalent of the reference's three
+``main*.py`` scripts (``/root/reference/large/main.py``,
+``large/main-batch.py``, ``100M/nb-sample.py``, ``medium/main.py``),
+collapsed into one trainer-mode switch:
+
+    python -m sgformer_tpu.cli.main --dataset synth-n20000 --method sgformer \
+        --trainer full --hidden_channels 64 --epochs 100
+
+Trainer modes: ``full`` (full-graph, one chip), ``sharded`` (full-graph
+SPMD over a node-sharded mesh), ``batch`` (random-partition mini-batch,
+``main-batch.py`` semantics), ``sampled`` (neighbor-sampled,
+``nb-sample.py`` semantics).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from sgformer_tpu.cli.parse import parse_method, parser_add_main_args
+from sgformer_tpu.data import load_dataset
+from sgformer_tpu.graph import preprocess_graph
+from sgformer_tpu.train import (
+    BatchTrainConfig,
+    BatchTrainer,
+    SampledTrainConfig,
+    SampledTrainer,
+    TrainConfig,
+    Trainer,
+)
+
+# Datasets the reference keeps directed (large/main.py:74-76 skips
+# to_undirected for deezer-europe/ogbn-proteins; directed heterophily sets)
+DIRECTED = {"deezer-europe", "ogbn-proteins", "arxiv-year", "snap-patents"}
+BCE_DATASETS = {"deezer-europe", "ogbn-proteins", "twitch-e", "fb100", "yelp-chi"}
+
+
+def get_splits(ds, args) -> list:
+    rng = np.random.default_rng(args.seed)
+    if args.rand_split_class:
+        return [
+            ds.get_idx_split("class", label_num_per_class=args.label_num_per_class,
+                             rng=rng)
+            for _ in range(args.runs)
+        ]
+    if args.rand_split or ds.load_fixed_splits is None:
+        return [
+            ds.get_idx_split("random", train_prop=args.train_prop,
+                             valid_prop=args.valid_prop, rng=rng)
+            for _ in range(args.runs)
+        ]
+    splits = ds.load_fixed_splits()
+    return splits if isinstance(splits, list) else [splits]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("sgformer-tpu")
+    parser_add_main_args(parser)
+    args = parser.parse_args(argv)
+
+    ds = load_dataset(args.data_dir, args.dataset, args.sub_dataset)
+    n = ds.num_nodes
+    c = ds.num_classes
+    x = ds.graph["node_feat"]
+    d = x.shape[1]
+    undirected = not (args.no_undirected or args.dataset in DIRECTED)
+    loss = "bce" if args.dataset in BCE_DATASETS else "nll"
+    metric = (
+        "rocauc"
+        if args.dataset in ("ogbn-proteins", "twitch-e", "yelp-chi")
+        and args.metric == "acc"
+        else args.metric
+    )
+
+    model = parse_method(args, n, c, d)
+    splits = get_splits(ds, args)
+    common = dict(
+        lr=args.lr,
+        trans_weight_decay=(
+            args.trans_weight_decay
+            if args.method in ("sgformer", "ours")
+            else args.weight_decay
+        ),
+        gnn_weight_decay=(
+            args.gnn_weight_decay
+            if args.method in ("sgformer", "ours")
+            else args.weight_decay
+        ),
+        epochs=args.epochs,
+        eval_step=args.eval_step,
+        patience=args.patience,
+        metric=metric,
+        mode=args.model_selection,
+        loss=loss,
+        runs=args.runs,
+        seed=args.seed,
+        display_step=args.display_step,
+    )
+    needs_pyg = args.method in ("gcn", "gcnjk") or (
+        args.method in ("sgformer", "ours") and args.backbone == "gcn"
+    )
+
+    if args.trainer in ("full", "sharded"):
+        graph = preprocess_graph(
+            ds.graph["edge_index"], n, undirected=undirected,
+            with_pyg_norm=needs_pyg, with_chunks=args.use_pallas,
+            chunk_dtype=args.chunk_dtype,
+        )
+        if args.trainer == "sharded":
+            from sgformer_tpu.parallel.sharded import ShardedTrainer
+
+            trainer = ShardedTrainer(model, graph, x, ds.label, TrainConfig(**common))
+        else:
+            trainer = Trainer(model, graph, x, ds.label, TrainConfig(**common))
+    elif args.trainer == "batch":
+        from sgformer_tpu.graph import (
+            add_self_loops,
+            remove_self_loops,
+            to_undirected,
+        )
+
+        e = ds.graph["edge_index"]
+        if undirected:
+            e = to_undirected(e)
+        e = add_self_loops(remove_self_loops(e), n)
+        full_graph = preprocess_graph(
+            ds.graph["edge_index"], n, undirected=undirected,
+            with_pyg_norm=needs_pyg,
+        )
+        trainer = BatchTrainer(
+            model, e, x, ds.label,
+            BatchTrainConfig(**common, batch_size=args.batch_size),
+            full_graph=full_graph, with_pyg_norm=needs_pyg,
+        )
+    elif args.trainer == "sampled":
+        from sgformer_tpu.graph import (
+            add_self_loops,
+            remove_self_loops,
+            to_undirected,
+        )
+
+        e = ds.graph["edge_index"]
+        if undirected:
+            e = to_undirected(e)
+        e = add_self_loops(remove_self_loops(e), n)
+        trainer = SampledTrainer(
+            model, e, x, ds.label,
+            SampledTrainConfig(
+                **common,
+                batch_size=args.batch_size,
+                fanouts=tuple(args.fanouts),
+                save_model=args.save_model,
+                use_pretrained=args.use_pretrained,
+                model_dir=args.model_dir,
+            ),
+        )
+    else:
+        raise ValueError(args.trainer)
+
+    logger = trainer.fit(splits)
+    stats = logger.print_statistics()
+
+    if args.save_result and stats:
+        os.makedirs(args.result_dir, exist_ok=True)
+        name = f"{args.dataset}_{args.method}"
+        if args.method in ("sgformer", "ours"):
+            name += f"_{args.backbone}"
+        path = os.path.join(args.result_dir, name + ".txt")
+        with open(path, "a") as f:
+            mean, std = stats["final_test"]
+            f.write(
+                f"runs={args.runs} lr={args.lr} hidden={args.hidden_channels} "
+                f"epochs={args.epochs} test_acc={mean:.2f}±{std:.2f}\n"
+            )
+    return logger
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Unified CLI flag set + model factory.
+
+The reference maintains three divergent argparse dialects
+(``/root/reference/medium/parse.py:110-211``, ``large/parse.py:45-127``,
+``100M/parse.py:14-88``); this single flag set covers their union using
+the large-tier ``trans_*``/``gnn_*`` prefixes, and the factory
+(:func:`parse_method`) plays the role of the reference's three
+``parse_method`` functions (``large/parse.py:4-42``,
+``medium/parse.py:10-107``)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def parser_add_main_args(parser: argparse.ArgumentParser):
+    # experiment
+    parser.add_argument("--dataset", type=str, default="cora")
+    parser.add_argument("--sub_dataset", type=str, default="")
+    parser.add_argument("--data_dir", type=str, default="data/")
+    parser.add_argument("--method", type=str, default="sgformer")
+    parser.add_argument("--seed", type=int, default=123)
+    parser.add_argument("--runs", type=int, default=1)
+    parser.add_argument("--epochs", type=int, default=500)
+    parser.add_argument("--eval_step", type=int, default=1)
+    parser.add_argument("--display_step", type=int, default=50)
+    parser.add_argument("--patience", type=int, default=0)
+    parser.add_argument("--metric", type=str, default="acc",
+                        choices=["acc", "rocauc", "f1"])
+    parser.add_argument("--model_selection", type=str, default="max_acc",
+                        choices=["max_acc", "min_loss"])
+    # splits
+    parser.add_argument("--rand_split", action="store_true")
+    parser.add_argument("--rand_split_class", action="store_true")
+    parser.add_argument("--label_num_per_class", type=int, default=20)
+    parser.add_argument("--train_prop", type=float, default=0.5)
+    parser.add_argument("--valid_prop", type=float, default=0.25)
+    # optimization
+    parser.add_argument("--lr", type=float, default=0.01)
+    parser.add_argument("--weight_decay", type=float, default=5e-3)
+    parser.add_argument("--trans_weight_decay", type=float, default=1e-3)
+    parser.add_argument("--gnn_weight_decay", type=float, default=1e-3)
+    # shared model shape
+    parser.add_argument("--hidden_channels", type=int, default=32)
+    parser.add_argument("--num_layers", type=int, default=2)
+    parser.add_argument("--num_heads", type=int, default=1)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--hops", type=int, default=2)
+    parser.add_argument("--use_bn", action="store_true")
+    parser.add_argument("--no_bn", action="store_true")
+    # sgformer attention branch (large/parse.py:84-102)
+    parser.add_argument("--trans_num_layers", type=int, default=1)
+    parser.add_argument("--trans_num_heads", type=int, default=1)
+    parser.add_argument("--trans_dropout", type=float, default=0.5)
+    parser.add_argument("--trans_use_bn", action="store_true", default=True)
+    parser.add_argument("--trans_use_residual", action="store_true", default=True)
+    parser.add_argument("--trans_use_weight", action="store_true", default=True)
+    parser.add_argument("--trans_use_act", action="store_true", default=False)
+    parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--attention", type=str, default="simple",
+                        choices=["simple", "softmax", "gat", "performer"])
+    # sgformer gnn branch (large/parse.py:104-118)
+    parser.add_argument("--use_graph", action="store_true", default=True)
+    parser.add_argument("--no_graph", action="store_true")
+    parser.add_argument("--gnn_num_layers", type=int, default=2)
+    parser.add_argument("--gnn_dropout", type=float, default=0.5)
+    parser.add_argument("--gnn_use_bn", action="store_true", default=True)
+    parser.add_argument("--gnn_use_residual", action="store_true", default=True)
+    parser.add_argument("--gnn_use_weight", action="store_true", default=True)
+    parser.add_argument("--gnn_use_init", action="store_true", default=False)
+    parser.add_argument("--gnn_use_act", action="store_true", default=True)
+    parser.add_argument("--backbone", type=str, default="gcn",
+                        choices=["gcn", "graphconv"])
+    parser.add_argument("--graph_weight", type=float, default=0.8)
+    parser.add_argument("--aggregate", type=str, default="add",
+                        choices=["add", "cat"])
+    # execution mode
+    parser.add_argument("--trainer", type=str, default="full",
+                        choices=["full", "sharded", "batch", "sampled"])
+    parser.add_argument("--batch_size", type=int, default=10000)
+    parser.add_argument("--fanouts", type=int, nargs="+", default=[15, 10, 5])
+    parser.add_argument("--no_undirected", action="store_true",
+                        help="skip to_undirected (deezer/proteins semantics)")
+    parser.add_argument("--use_pallas", action="store_true", default=False,
+                        help="build MXU SpMM chunk plans")
+    parser.add_argument("--chunk_dtype", type=str, default="bf16",
+                        choices=["bf16", "f32"])
+    # checkpointing (100M/parse.py flags)
+    parser.add_argument("--save_model", action="store_true")
+    parser.add_argument("--use_pretrained", action="store_true")
+    parser.add_argument("--model_dir", type=str, default="models/ckpt")
+    # outputs
+    parser.add_argument("--save_result", action="store_true")
+    parser.add_argument("--result_dir", type=str, default="results/")
+    return parser
+
+
+def parse_method(args, n: int, c: int, d: int):
+    """Model factory (reference: ``large/parse.py:4-42``).  Returns a flax
+    module with the trainers' ``__call__(x, graph, train, node_mask)``
+    contract."""
+    from sgformer_tpu.nn import (
+        APPNP,
+        GAT,
+        GATJK,
+        GCN,
+        GCNJK,
+        GPRGNN,
+        LINK,
+        MLP,
+        SGC,
+        SGC2,
+        SIGN,
+        MixHop,
+        SGFormer,
+        SGFormerConfig,
+    )
+
+    use_bn = not args.no_bn
+    method = args.method
+    axis = "sp" if args.trainer == "sharded" else None
+    if method in ("sgformer", "ours"):
+        cfg = SGFormerConfig(
+            hidden_channels=args.hidden_channels,
+            out_channels=c,
+            trans_num_layers=args.trans_num_layers,
+            trans_num_heads=args.trans_num_heads,
+            trans_dropout=args.trans_dropout,
+            trans_use_bn=args.trans_use_bn,
+            trans_use_residual=args.trans_use_residual,
+            trans_use_weight=args.trans_use_weight,
+            trans_use_act=args.trans_use_act,
+            attention_kernel=args.attention,
+            alpha=args.alpha,
+            gnn="none" if args.no_graph else args.backbone,
+            gnn_num_layers=args.gnn_num_layers,
+            gnn_dropout=args.gnn_dropout,
+            gnn_use_bn=args.gnn_use_bn,
+            gnn_use_residual=args.gnn_use_residual,
+            gnn_use_weight=args.gnn_use_weight,
+            gnn_use_init=args.gnn_use_init,
+            gnn_use_act=args.gnn_use_act,
+            graph_weight=args.graph_weight,
+            aggregate=args.aggregate,
+            axis_name=axis,
+        )
+        return SGFormer(cfg)
+    if method == "mlp":
+        return MLP(args.hidden_channels, c, num_layers=args.num_layers,
+                   dropout=args.dropout, use_bn=use_bn, axis_name=axis)
+    if method == "gcn":
+        return GCN(args.hidden_channels, c, num_layers=args.num_layers,
+                   dropout=args.dropout, use_bn=use_bn, axis_name=axis)
+    if method == "gat":
+        return GAT(args.hidden_channels, c, num_layers=args.num_layers,
+                   heads=args.num_heads, dropout=args.dropout, use_bn=use_bn,
+                   axis_name=axis)
+    if method == "sgc":
+        return SGC(c, hops=args.hops)
+    if method == "sgc2":
+        return SGC2(args.hidden_channels, c, hops=args.hops,
+                    num_layers=args.num_layers, dropout=args.dropout,
+                    use_bn=use_bn, axis_name=axis)
+    if method == "sign":
+        return SIGN(args.hidden_channels, c, hops=args.hops,
+                    num_layers=args.num_layers, dropout=args.dropout,
+                    use_bn=use_bn, axis_name=axis)
+    if method == "mixhop":
+        return MixHop(args.hidden_channels, c, num_layers=args.num_layers,
+                      hops=args.hops, dropout=args.dropout, use_bn=use_bn,
+                      axis_name=axis)
+    if method == "gcnjk":
+        return GCNJK(args.hidden_channels, c, num_layers=args.num_layers,
+                     dropout=args.dropout, use_bn=use_bn, axis_name=axis)
+    if method == "gatjk":
+        return GATJK(args.hidden_channels, c, num_layers=args.num_layers,
+                     heads=args.num_heads, dropout=args.dropout, use_bn=use_bn,
+                     axis_name=axis)
+    if method == "appnp":
+        return APPNP(args.hidden_channels, c, dropout=args.dropout)
+    if method == "gprgnn":
+        return GPRGNN(args.hidden_channels, c, dropout=args.dropout)
+    if method == "link":
+        return LINK(n, c)
+    raise ValueError(f"unknown method {method}")

@@ -37,8 +37,10 @@ import numpy as np
         "pyg_src",
         "pyg_dst",
         "pyg_weight",
+        "chunks",
+        "pyg_chunks",
     ],
-    meta_fields=["num_nodes", "num_edges"],
+    meta_fields=["num_nodes", "num_edges", "chunk_dtype", "chunk_interpret"],
 )
 @dataclasses.dataclass(frozen=True)
 class Graph:
@@ -65,6 +67,11 @@ class Graph:
     pyg_src: Optional[jax.Array] = None
     pyg_dst: Optional[jax.Array] = None
     pyg_weight: Optional[jax.Array] = None
+    # MXU SpMM chunk plans (sgformer_tpu/kernels); None = XLA segment_sum.
+    chunks: Optional[object] = None
+    pyg_chunks: Optional[object] = None
+    chunk_dtype: str = "bf16"
+    chunk_interpret: bool = False
 
     @property
     def edge_index(self):
@@ -73,11 +80,23 @@ class Graph:
     def propagate(self, x: jax.Array, kind: str = "gcn") -> jax.Array:
         """A_norm @ x — the GCN aggregation.  ``kind='gcn'`` uses the
         GraphConvLayer normalization (``large/ours.py:27-34``); ``'pyg'``
-        uses PyG ``gcn_norm`` edges (medium-tier GCNConv).  The sharded
-        counterpart is :meth:`sgformer_tpu.parallel.ShardGraph.propagate` —
-        model code is agnostic to which it gets."""
+        uses PyG ``gcn_norm`` edges (medium-tier GCNConv).  Uses the Pallas
+        MXU chunk kernel when plans were built (``with_chunks=True``), else
+        the XLA gather+segment_sum path.  The sharded counterpart is
+        :meth:`sgformer_tpu.parallel.ShardGraph.propagate` — model code is
+        agnostic to which it gets."""
+        import jax.numpy as _jnp
+
         from sgformer_tpu.ops.spmm import spmm
 
+        plan = self.chunks if kind == "gcn" else self.pyg_chunks
+        if plan is not None:
+            from sgformer_tpu.kernels.spmm import chunked_spmm
+
+            dtype = _jnp.float32 if self.chunk_dtype == "f32" else _jnp.bfloat16
+            return chunked_spmm(
+                x, plan, compute_dtype=dtype, interpret=self.chunk_interpret
+            )
         if kind == "gcn":
             return spmm(
                 x, self.edge_src, self.edge_dst, self.gcn_weight, self.num_nodes
@@ -161,13 +180,21 @@ def preprocess_graph(
     undirected: bool = True,
     self_loops: bool = True,
     with_pyg_norm: bool = False,
+    with_chunks: bool = False,
+    chunk_edges: int = 1024,
+    window_rows: int = 128,
+    chunk_dtype: str = "bf16",
+    chunk_interpret: bool = False,
     dtype=np.float32,
 ) -> Graph:
     """One-time preprocessing pipeline (reference: ``large/main.py:74-79``):
     optionally symmetrize, then replace self-loops, then sort + normalize.
 
     ``with_pyg_norm`` additionally precomputes PyG ``gcn_norm`` edges for
-    the medium-tier GCNConv backbone.
+    the medium-tier GCNConv backbone.  ``with_chunks`` builds the Pallas
+    MXU SpMM chunk plans (fwd + transpose) so ``propagate`` runs on the
+    systolic array; ``chunk_dtype`` in {'bf16','f32'} picks the message
+    dtype (accumulation is always f32).
     """
     edge_index = np.asarray(edge_index)
     if undirected:
@@ -179,11 +206,26 @@ def preprocess_graph(
     weight = gcn_norm_weights(src, dst, num_nodes).astype(dtype)
     indptr = build_indptr(dst, num_nodes)
     pyg_src = pyg_dst = pyg_weight = None
+    pyg_np = None
     if with_pyg_norm:
         psrc, pdst, pw = pyg_gcn_norm(np.stack([src, dst]), num_nodes)
+        pyg_np = (psrc, pdst, pw)
         pyg_src = jnp.asarray(psrc, dtype=jnp.int32)
         pyg_dst = jnp.asarray(pdst, dtype=jnp.int32)
         pyg_weight = jnp.asarray(pw.astype(dtype))
+    chunks = pyg_chunks = None
+    if with_chunks:
+        from sgformer_tpu.kernels.chunks import build_chunks
+
+        chunks = build_chunks(
+            src, dst, weight, num_nodes,
+            chunk_edges=chunk_edges, window_rows=window_rows,
+        )
+        if pyg_np is not None:
+            pyg_chunks = build_chunks(
+                pyg_np[0], pyg_np[1], pyg_np[2], num_nodes,
+                chunk_edges=chunk_edges, window_rows=window_rows,
+            )
     return Graph(
         edge_src=jnp.asarray(src, dtype=jnp.int32),
         edge_dst=jnp.asarray(dst, dtype=jnp.int32),
@@ -194,6 +236,10 @@ def preprocess_graph(
         pyg_src=pyg_src,
         pyg_dst=pyg_dst,
         pyg_weight=pyg_weight,
+        chunks=chunks,
+        pyg_chunks=pyg_chunks,
+        chunk_dtype=chunk_dtype,
+        chunk_interpret=chunk_interpret,
     )
 
 
@@ -231,6 +277,36 @@ def pyg_gcn_norm(
         dst[order].astype(np.int32),
         weight[order].astype(np.float32),
     )
+
+
+def build_h2_graphs(edge_index: np.ndarray, num_nodes: int):
+    """A1/A2 edge sets for H2GCN (reference builds them with
+    ``torch_sparse.spspmm`` at ``medium/models.py:263-311``): A1 is the
+    self-loop-free 1-hop adjacency, A2 the EXACT 2-hop neighborhood
+    (pattern of A² minus A minus the diagonal), both DAD-normalized.
+    Returns two :class:`Graph` objects (gcn edge sets only)."""
+    import scipy.sparse as sp
+
+    e = to_undirected(remove_self_loops(np.asarray(edge_index)))
+    src, dst = e
+    a = sp.csr_matrix(
+        (np.ones(len(src)), (dst, src)), shape=(num_nodes, num_nodes)
+    )
+    a.data[:] = 1.0
+    a2 = a @ a
+    a2.setdiag(0)
+    a2 = (a2 > 0).astype(np.float64)
+    a2 = a2 - a2.multiply((a > 0).astype(np.float64))  # drop 1-hop pairs
+    a2.eliminate_zeros()
+
+    def _graph_from(mat) -> Graph:
+        coo = mat.tocoo()
+        ei = np.stack([coo.col, coo.row]).astype(np.int64)  # (src, dst)
+        return preprocess_graph(
+            ei, num_nodes, undirected=False, self_loops=False
+        )
+
+    return _graph_from(a), _graph_from(a2)
 
 
 def subgraph(

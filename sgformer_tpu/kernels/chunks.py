@@ -1,0 +1,137 @@
+"""Host-side edge chunking for the MXU SpMM kernel.
+
+The dst-sorted edge list is cut into fixed-size **chunks** of ``C`` edges,
+each assigned to a **window** of ``W`` consecutive destination rows.  Within
+a chunk every edge's destination is expressed window-locally (0..W-1), so
+the kernel can accumulate the chunk with one dense [W,C]x[C,F] matmul of a
+weighted one-hot selector against the gathered source rows — the TPU answer
+to cuSPARSE's CSR SpMM (reference call sites: ``large/ours.py:33-34``,
+``100M/ours.py:80``).
+
+Properties guaranteed by the builder:
+- chunks are ordered by window; all chunks of a window are consecutive
+  (the kernel accumulates over same-window revisits of its output block);
+- every window emits >= 1 chunk, even if empty (so every output row-block
+  is written);
+- padding edge slots carry weight 0 and point at src 0 / local row 0.
+
+The transpose chunking (edges re-sorted by src) drives the backward pass:
+dx = Aᵀ @ g is the same kernel with gather/accumulate roles swapped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["gather_idx", "local_dst", "weight", "window_id"],
+    meta_fields=["chunk_edges", "window_rows", "num_rows_out", "num_chunks"],
+)
+@dataclasses.dataclass(frozen=True)
+class ChunkPlan:
+    """One direction (A or Aᵀ) of the chunked SpMM.
+
+    gather_idx: [n_chunks, C] int32 — source row to gather for each edge slot.
+    local_dst:  [n_chunks, C] int32 — window-local destination row (0..W-1).
+    weight:     [n_chunks, C] f32   — edge weight (0 on padding slots).
+    window_id:  [n_chunks]    int32 — output window of each chunk (ascending).
+    num_rows_out: padded output row count (n_windows * W).
+    """
+
+    gather_idx: jax.Array
+    local_dst: jax.Array
+    weight: jax.Array
+    window_id: jax.Array
+    chunk_edges: int
+    window_rows: int
+    num_rows_out: int
+    num_chunks: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "bwd"],
+    meta_fields=["num_nodes"],
+)
+@dataclasses.dataclass(frozen=True)
+class ChunkedSpMM:
+    """Forward (A) + transpose (Aᵀ) chunk plans for one sparse matrix."""
+
+    fwd: ChunkPlan
+    bwd: ChunkPlan
+    num_nodes: int
+
+
+def _build_plan(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_nodes: int,
+    chunk_edges: int,
+    window_rows: int,
+) -> ChunkPlan:
+    """Edges MUST be sorted by dst."""
+    C, W = chunk_edges, window_rows
+    n_windows = -(-num_nodes // W)
+    indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
+    np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
+
+    g_idx, l_dst, wts, wids = [], [], [], []
+    for w in range(n_windows):
+        e0 = int(indptr[w * W])
+        e1 = int(indptr[(w + 1) * W])
+        n_chunks_w = max(1, -(-(e1 - e0) // C))
+        for c in range(n_chunks_w):
+            a = e0 + c * C
+            b = min(e0 + (c + 1) * C, e1)
+            k = b - a
+            gi = np.zeros(C, dtype=np.int32)
+            ld = np.zeros(C, dtype=np.int32)
+            wt = np.zeros(C, dtype=np.float32)
+            gi[:k] = src[a:b]
+            ld[:k] = dst[a:b] - w * W
+            wt[:k] = weight[a:b]
+            g_idx.append(gi)
+            l_dst.append(ld)
+            wts.append(wt)
+            wids.append(w)
+
+    return ChunkPlan(
+        gather_idx=jnp.asarray(np.stack(g_idx)),
+        local_dst=jnp.asarray(np.stack(l_dst)),
+        weight=jnp.asarray(np.stack(wts)),
+        window_id=jnp.asarray(np.asarray(wids, dtype=np.int32)),
+        chunk_edges=C,
+        window_rows=W,
+        num_rows_out=n_windows * W,
+        num_chunks=len(wids),
+    )
+
+
+def build_chunks(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_nodes: int,
+    *,
+    chunk_edges: int = 1024,
+    window_rows: int = 512,
+) -> ChunkedSpMM:
+    """Build forward + transpose chunk plans from a dst-sorted COO list."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    weight = np.asarray(weight)
+    fwd = _build_plan(src, dst, weight, num_nodes, chunk_edges, window_rows)
+    order = np.argsort(src, kind="stable")
+    bwd = _build_plan(
+        dst[order], src[order], weight[order], num_nodes, chunk_edges, window_rows
+    )
+    return ChunkedSpMM(fwd=fwd, bwd=bwd, num_nodes=num_nodes)

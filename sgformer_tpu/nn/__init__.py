@@ -1,5 +1,21 @@
 from sgformer_tpu.nn.layers import TorchLinear  # noqa: F401
+from sgformer_tpu.nn.norm import MaskedBatchNorm  # noqa: F401
 from sgformer_tpu.nn.transconv import TransConv, TransConvLayer  # noqa: F401
 from sgformer_tpu.nn.graphconv import GraphConv, GraphConvLayer  # noqa: F401
-from sgformer_tpu.nn.gcn import GCN  # noqa: F401
+from sgformer_tpu.nn.gcn import GCN, GCNConv  # noqa: F401
 from sgformer_tpu.nn.sgformer import SGFormer, SGFormerConfig  # noqa: F401
+from sgformer_tpu.nn.baselines import (  # noqa: F401
+    APPNP,
+    GAT,
+    GATJK,
+    GCNJK,
+    GPRGNN,
+    H2GCN,
+    LINK,
+    MLP,
+    SGC,
+    SGC2,
+    SIGN,
+    MixHop,
+    MultiLP,
+)

@@ -1,0 +1,453 @@
+"""Baseline model zoo — capability parity with the reference's comparison
+models (``/root/reference/large/gnns.py:12-690`` and
+``/root/reference/medium/models.py:14-385``), re-designed as jit-friendly
+flax modules over the shared :class:`~sgformer_tpu.graph.Graph` container.
+
+Every model exposes ``__call__(x, graph, *, train=False, node_mask=None)
+-> [N, C] logits`` so all trainers (full-graph / sharded / batched) drive
+them interchangeably.  Hop propagation uses ``graph.propagate`` (GCN-norm
+DAD aggregation — Pallas MXU kernel when chunk plans exist); GAT uses the
+edge-softmax op.  MultiLP is parameter-free and exposes ``predict``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.norm import MaskedBatchNorm
+from sgformer_tpu.ops.spmm import edge_softmax
+import jax.ops
+
+
+class MLP(nn.Module):
+    """large/gnns.py:33-66: Linear stack with BN/ReLU/dropout."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph=None, *, train: bool = False, node_mask=None):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dims = [self.hidden_channels] * (self.num_layers - 1) + [self.out_channels]
+        for i, d in enumerate(dims[:-1]):
+            x = TorchLinear(d, name=f"lin_{i}")(x)
+            if self.use_bn:
+                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                    x, train=train, node_mask=node_mask
+                )
+            x = nn.relu(x)
+            x = dropout(x)
+        return TorchLinear(dims[-1], name=f"lin_{len(dims) - 1}")(x)
+
+
+class LINK(nn.Module):
+    """large/gnns.py:12-31: logistic regression on adjacency rows —
+    out[i] = Σ_{j ∈ N(i)} W[j] + b (row-normalized below like the sparse
+    one-hot A @ W product)."""
+
+    num_nodes: int
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        w = self.param(
+            "weight",
+            lambda key, shape: jax.random.uniform(
+                key, shape, jnp.float32, -(shape[0] ** -0.5), shape[0] ** -0.5
+            ),
+            (self.num_nodes, self.out_channels),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+        agg = jax.ops.segment_sum(
+            jnp.take(w, graph.edge_src, axis=0),
+            graph.edge_dst,
+            num_segments=graph.num_nodes,
+            indices_are_sorted=True,
+        )
+        return agg + b
+
+
+class SGC(nn.Module):
+    """large/gnns.py:68-80: K-hop propagated features + one linear.
+    SGCMem (gnns.py:82-125) is the same math computed hop-by-hop — which
+    is exactly how this runs (lax loop over hops, no A^K materialized)."""
+
+    out_channels: int
+    hops: int = 2
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        for _ in range(self.hops):
+            x = graph.propagate(x, kind="gcn")
+        return TorchLinear(self.out_channels, name="lin")(x)
+
+
+class SGC2(nn.Module):
+    """large/gnns.py:127-175: K-hop propagation then an MLP."""
+
+    hidden_channels: int
+    out_channels: int
+    hops: int = 2
+    num_layers: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        for _ in range(self.hops):
+            x = graph.propagate(x, kind="gcn")
+        return MLP(
+            self.hidden_channels,
+            self.out_channels,
+            num_layers=self.num_layers,
+            dropout=self.dropout,
+            use_bn=self.use_bn,
+            axis_name=self.axis_name,
+            name="mlp",
+        )(x, graph, train=train, node_mask=node_mask)
+
+
+class SIGN(nn.Module):
+    """large/gnns.py:222-270: per-hop linear embeddings of [x, Ax, …, A^K x]
+    summed, then an MLP head."""
+
+    hidden_channels: int
+    out_channels: int
+    hops: int = 2
+    num_layers: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        hs = []
+        h = x
+        for k in range(self.hops + 1):
+            if k > 0:
+                h = graph.propagate(h, kind="gcn")
+            hs.append(TorchLinear(self.hidden_channels, name=f"hop_{k}")(h))
+        z = sum(hs)
+        return MLP(
+            self.hidden_channels,
+            self.out_channels,
+            num_layers=self.num_layers,
+            dropout=self.dropout,
+            use_bn=self.use_bn,
+            axis_name=self.axis_name,
+            name="mlp",
+        )(z, graph, train=train, node_mask=node_mask)
+
+
+class GATConv(nn.Module):
+    """PyG GATConv equivalent (used at large/gnns.py:272-310): per-head
+    linear, additive attention with LeakyReLU(0.2), per-destination edge
+    softmax, weighted aggregation.  Self-loops come from the preprocessed
+    graph's edge set."""
+
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, graph):
+        H, D = self.heads, self.out_channels
+        h = TorchLinear(H * D, use_bias=False, name="lin")(x).reshape(-1, H, D)
+        a_src = self.param("att_src", nn.initializers.glorot_uniform(), (1, H, D))
+        a_dst = self.param("att_dst", nn.initializers.glorot_uniform(), (1, H, D))
+        alpha_src = (h * a_src).sum(-1)  # [N, H]
+        alpha_dst = (h * a_dst).sum(-1)
+        e = nn.leaky_relu(
+            alpha_src[graph.edge_src] + alpha_dst[graph.edge_dst],
+            negative_slope=self.negative_slope,
+        )
+        w = edge_softmax(e, graph.edge_dst, graph.num_nodes)  # [E, H]
+        msgs = h[graph.edge_src] * w[..., None]
+        out = jax.ops.segment_sum(
+            msgs, graph.edge_dst, num_segments=graph.num_nodes,
+            indices_are_sorted=True,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (H * D if self.concat else D,)
+        )
+        if self.concat:
+            return out.reshape(-1, H * D) + bias
+        return out.mean(axis=1) + bias
+
+
+class GAT(nn.Module):
+    """large/gnns.py:272-310: GATConv stack (concat heads on hidden layers,
+    mean on the output layer), BN/ELU/dropout between layers."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    heads: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        for i in range(self.num_layers - 1):
+            x = GATConv(self.hidden_channels, heads=self.heads, name=f"conv_{i}")(
+                x, graph
+            )
+            if self.use_bn:
+                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                    x, train=train, node_mask=node_mask
+                )
+            x = nn.elu(x)
+            x = dropout(x)
+        return GATConv(
+            self.out_channels, heads=self.heads, concat=False,
+            name=f"conv_{self.num_layers - 1}",
+        )(x, graph)
+
+
+class MixHopLayer(nn.Module):
+    """large/gnns.py:365-387: concat of per-hop linear transforms of
+    A^j x for j = 0..hops."""
+
+    out_channels: int
+    hops: int = 2
+
+    @nn.compact
+    def __call__(self, x, graph):
+        outs = []
+        h = x
+        for j in range(self.hops + 1):
+            if j > 0:
+                h = graph.propagate(h, kind="gcn")
+            outs.append(TorchLinear(self.out_channels, name=f"lin_{j}")(h))
+        return jnp.concatenate(outs, axis=1)
+
+
+class MixHop(nn.Module):
+    """large/gnns.py:389-450: MixHopLayer stack + final projection."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    hops: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        for i in range(self.num_layers):
+            x = MixHopLayer(self.hidden_channels, hops=self.hops, name=f"mix_{i}")(
+                x, graph
+            )
+            if self.use_bn:
+                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                    x, train=train, node_mask=node_mask
+                )
+            x = nn.relu(x)
+            x = dropout(x)
+        return TorchLinear(self.out_channels, name="final")(x)
+
+
+class GCNJK(nn.Module):
+    """large/gnns.py:452-499: GCN stack with jumping knowledge
+    (cat or max over layer outputs) + final linear."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    jk_type: str = "cat"  # 'cat' | 'max'
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        from sgformer_tpu.nn.gcn import GCNConv
+
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        xs = []
+        for i in range(self.num_layers):
+            x = GCNConv(self.hidden_channels, name=f"conv_{i}")(x, graph)
+            if self.use_bn and i < self.num_layers - 1:
+                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                    x, train=train, node_mask=node_mask
+                )
+            x = nn.relu(x)
+            xs.append(x)
+            x = dropout(x)
+        if self.jk_type == "max":
+            z = jnp.stack(xs, 0).max(axis=0)
+        else:
+            z = jnp.concatenate(xs, axis=1)
+        return TorchLinear(self.out_channels, name="final")(z)
+
+
+class GATJK(nn.Module):
+    """large/gnns.py:501-552: GAT stack with jumping knowledge."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    heads: int = 2
+    dropout: float = 0.5
+    use_bn: bool = True
+    jk_type: str = "cat"
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        xs = []
+        for i in range(self.num_layers):
+            x = GATConv(self.hidden_channels, heads=self.heads, name=f"conv_{i}")(
+                x, graph
+            )
+            if self.use_bn and i < self.num_layers - 1:
+                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                    x, train=train, node_mask=node_mask
+                )
+            x = nn.elu(x)
+            xs.append(x)
+            x = dropout(x)
+        if self.jk_type == "max":
+            z = jnp.stack(xs, 0).max(axis=0)
+        else:
+            z = jnp.concatenate(xs, axis=1)
+        return TorchLinear(self.out_channels, name="final")(z)
+
+
+class APPNP(nn.Module):
+    """large/gnns.py:568-586 (APPNP_Net): 2-layer MLP then K personalized
+    -pagerank propagation steps z ← (1-α)·A z + α·h."""
+
+    hidden_channels: int
+    out_channels: int
+    dropout: float = 0.5
+    K: int = 10
+    alpha: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        x = dropout(x)
+        x = nn.relu(TorchLinear(self.hidden_channels, name="lin1")(x))
+        x = dropout(x)
+        h = TorchLinear(self.out_channels, name="lin2")(x)
+        z = h
+        for _ in range(self.K):
+            z = (1 - self.alpha) * graph.propagate(z, kind="gcn") + self.alpha * h
+        return z
+
+
+class GPRGNN(nn.Module):
+    """large/gnns.py:588-686: MLP then learned per-hop weights γ_k over
+    A^k h (PPR-initialized)."""
+
+    hidden_channels: int
+    out_channels: int
+    dropout: float = 0.5
+    dprate: float = 0.5
+    K: int = 10
+    alpha: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dprop = nn.Dropout(self.dprate, deterministic=not train)
+        x = dropout(x)
+        x = nn.relu(TorchLinear(self.hidden_channels, name="lin1")(x))
+        x = dropout(x)
+        h = TorchLinear(self.out_channels, name="lin2")(x)
+        # PPR init: γ_k = α(1-α)^k, γ_K = (1-α)^K (gnns.py:600-606)
+        def ppr_init(key, shape):
+            k = jnp.arange(shape[0], dtype=jnp.float32)
+            g = self.alpha * (1 - self.alpha) ** k
+            return g.at[-1].set((1 - self.alpha) ** (shape[0] - 1))
+
+        gamma = self.param("gamma", ppr_init, (self.K + 1,))
+        h = dprop(h)
+        z = gamma[0] * h
+        for k in range(1, self.K + 1):
+            h = graph.propagate(h, kind="gcn")
+            z = z + gamma[k] * h
+        return z
+
+
+class H2GCN(nn.Module):
+    """medium/models.py:200-340: heterophily GCN — ego/neighbor separation
+    over the self-loop-free 1-hop (A1) and exact-2-hop (A2) neighborhoods,
+    per-round concatenation and a final jump-concat classifier.  A1/A2 are
+    precomputed on the host (``sgformer_tpu.graph.two_hop_edges``; the
+    reference builds them with torch_sparse.spspmm at models.py:263-311)
+    and passed as extra Graph-like edge sets via ``h2_graphs``."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    dropout: float = 0.5
+
+    @nn.compact
+    def __call__(
+        self, x, graph, *, train: bool = False, node_mask=None, h2_graphs=None
+    ):
+        assert h2_graphs is not None, (
+            "H2GCN needs h2_graphs=(a1_graph, a2_graph) from "
+            "sgformer_tpu.graph.build_h2_graphs"
+        )
+        a1, a2 = h2_graphs
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        h = nn.relu(TorchLinear(self.hidden_channels, name="embed")(x))
+        outs = [h]
+        for _ in range(self.num_layers):
+            h = jnp.concatenate(
+                [a1.propagate(h, kind="gcn"), a2.propagate(h, kind="gcn")], axis=1
+            )
+            outs.append(h)
+        z = jnp.concatenate(outs, axis=1)
+        z = dropout(z)
+        return TorchLinear(self.out_channels, name="final")(z)
+
+
+class MultiLP:
+    """large/gnns.py:312-363: multi-hop label propagation (parameter-free).
+    ``predict`` clamps train labels and iterates z ← A^hops z."""
+
+    def __init__(self, out_channels, alpha=0.5, hops=2, num_iters=50):
+        self.out_channels = out_channels
+        self.alpha = alpha
+        self.hops = hops
+        self.num_iters = num_iters
+
+    def predict(self, graph, label, train_idx):
+        import numpy as np
+
+        n = graph.num_nodes
+        label = np.asarray(label).reshape(-1)
+        y = jnp.zeros((n, self.out_channels))
+        train_idx = jnp.asarray(np.asarray(train_idx))
+        onehot = jax.nn.one_hot(
+            jnp.asarray(label[np.asarray(train_idx)]), self.out_channels
+        )
+        y = y.at[train_idx].set(onehot)
+        z = y
+        for _ in range(self.num_iters):
+            for _ in range(self.hops):
+                z = graph.propagate(z, kind="gcn")
+            z = self.alpha * z + (1 - self.alpha) * y
+            z = jnp.clip(z, 0.0, 1.0)
+            z = z.at[train_idx].set(onehot)
+        return z

@@ -48,6 +48,9 @@ class SGFormerConfig:
     trans_use_weight: bool = True
     trans_use_act: bool = False
     trans_residual_mode: str = "alpha"  # 'alpha' (medium/100M) | 'mean' (large)
+    # attention ablation: 'simple' | 'softmax' | 'gat' | 'performer'
+    # (medium/ablation/parse.py:102-118)
+    attention_kernel: str = "simple"
     alpha: float = 0.5
     # gnn branch
     gnn: str = "graphconv"  # 'graphconv' | 'gcn' | 'none'
@@ -107,6 +110,7 @@ class SGFormer(nn.Module):
             use_act=cfg.trans_use_act,
             residual_mode=cfg.trans_residual_mode,
             axis_name=cfg.axis_name,
+            kernel=cfg.attention_kernel,
         )
         if cfg.gnn == "graphconv":
             self.graph_conv = GraphConv(

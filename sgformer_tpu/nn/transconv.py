@@ -19,13 +19,25 @@ from sgformer_tpu.ops.attention import linear_attention
 
 
 class TransConvLayer(nn.Module):
-    """QKV projections + linear global attention + mean over heads
-    (``medium/ours.py:49-100``)."""
+    """QKV projections + global attention + mean over heads
+    (``medium/ours.py:49-100``).
+
+    ``kernel`` selects the attention ablation
+    (``medium/ablation/parse.py:102-118``):
+      - ``"simple"``: SGFormer O(N) linear attention (the default);
+      - ``"softmax"``: full softmax attention (``oursSOFT.py``), O(N²);
+      - ``"gat"``: scaled-dot-product attention (``oursGAT.py``), O(N²);
+      - ``"performer"``: NodeFormer positive-random-feature kernel
+        (``oursNF.py``), O(N·M).
+    """
 
     out_channels: int
     num_heads: int = 1
     use_weight: bool = True
     axis_name: Optional[str] = None
+    kernel: str = "simple"
+    performer_features: Optional[int] = None
+    performer_seed: int = 0
 
     @nn.compact
     def __call__(
@@ -41,16 +53,42 @@ class TransConvLayer(nn.Module):
             # for num_heads == 1, matching the reference's implicit constraint.
             vs = source_input.reshape(-1, 1, d)
 
-        if output_attn:
-            out, attn = linear_attention(
-                qs, ks, vs, output_attn=True, axis_name=self.axis_name,
-                node_mask=node_mask,
+        if self.kernel == "simple":
+            if output_attn:
+                out, attn = linear_attention(
+                    qs, ks, vs, output_attn=True, axis_name=self.axis_name,
+                    node_mask=node_mask,
+                )
+                return out.mean(axis=1), attn
+            out = linear_attention(
+                qs, ks, vs, axis_name=self.axis_name, node_mask=node_mask
             )
-            return out.mean(axis=1), attn
-        out = linear_attention(
-            qs, ks, vs, axis_name=self.axis_name, node_mask=node_mask
+            return out.mean(axis=1)
+
+        from sgformer_tpu.ops.attention_variants import (
+            gat_attention,
+            performer_attention,
+            softmax_attention,
         )
-        return out.mean(axis=1)
+
+        if self.kernel == "softmax":
+            res = softmax_attention(qs, ks, vs, output_attn=output_attn)
+        elif self.kernel == "gat":
+            res = gat_attention(qs, ks, vs, output_attn=output_attn)
+        elif self.kernel == "performer":
+            res = performer_attention(
+                qs, ks, vs,
+                key=jax.random.PRNGKey(self.performer_seed),
+                num_features=self.performer_features,
+            )
+        else:
+            raise ValueError(f"unknown attention kernel: {self.kernel}")
+        if output_attn:
+            if self.kernel == "performer":
+                raise ValueError("performer kernel has no dense attention map")
+            out, attn = res
+            return out.mean(axis=1), attn
+        return res.mean(axis=1)
 
 
 class TransConv(nn.Module):
@@ -73,6 +111,7 @@ class TransConv(nn.Module):
     use_act: bool = False
     residual_mode: str = "alpha"
     axis_name: Optional[str] = None
+    kernel: str = "simple"
 
     @nn.compact
     def __call__(
@@ -94,6 +133,7 @@ class TransConv(nn.Module):
                 num_heads=self.num_heads,
                 use_weight=self.use_weight,
                 axis_name=self.axis_name,
+                kernel=self.kernel,
                 name=f"conv_{i}",
             )
             if output_attn:

@@ -50,6 +50,27 @@ def spmm(
     )
 
 
+def edge_softmax(
+    scores: jax.Array,
+    edge_dst: jax.Array,
+    num_nodes: int,
+    *,
+    sorted_by_dst: bool = True,
+) -> jax.Array:
+    """Per-destination softmax over incoming-edge scores ([E] or [E, H]) —
+    the normalization inside PyG's ``GATConv`` (used by the reference GAT
+    baselines, ``large/gnns.py:272-310``)."""
+    mx = jax.ops.segment_max(
+        scores, edge_dst, num_segments=num_nodes, indices_are_sorted=sorted_by_dst
+    )
+    mx = jnp.where(jnp.isfinite(mx), mx, 0.0)
+    e = jnp.exp(scores - mx[edge_dst])
+    den = jax.ops.segment_sum(
+        e, edge_dst, num_segments=num_nodes, indices_are_sorted=sorted_by_dst
+    )
+    return e / jnp.maximum(den[edge_dst], 1e-16)
+
+
 def segment_mean(
     data: jax.Array, segment_ids: jax.Array, num_segments: int, *, sorted_ids: bool = False
 ) -> jax.Array:

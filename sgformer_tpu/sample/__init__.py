@@ -1,0 +1,5 @@
+from sgformer_tpu.sample.neighbor import (  # noqa: F401
+    CSRGraph,
+    NeighborSampler,
+    SampledBatch,
+)

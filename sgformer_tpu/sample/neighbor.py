@@ -1,0 +1,228 @@
+"""Host-side neighbor sampler — the TPU-native replacement for PyG's
+``NeighborLoader`` (C++ sampler + worker processes) used by the papers100M
+tier (``/root/reference/100M/nb-sample.py:125-151``, fanout [15,10,5]).
+
+Semantics match PyG's sampler: layer-wise expansion from the seed nodes,
+sampling WITHOUT replacement up to ``fanout[l]`` in-neighbors per node per
+hop; sampled edges point child → parent, the union of visited nodes forms
+the subgraph with seeds first, and training losses read only the first
+``batch_size`` output rows (``nb-sample.py:27-35``).
+
+TPU-first differences: every batch is padded to static (node, edge) caps so
+ONE compiled train step serves the whole epoch, and the sampler is
+vectorized numpy over the frontier (no per-node Python loop) — the role
+PyG fills with C++ worker processes.  A double-buffered prefetch thread
+overlaps sampling with device compute (see ``PrefetchIterator``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CSRGraph:
+    """In-neighbor CSR on the host (dst -> its in-neighbors)."""
+
+    indptr: np.ndarray  # [N+1] int64
+    indices: np.ndarray  # [E]  int32/int64, src of each in-edge
+
+    @classmethod
+    def from_edge_index(cls, edge_index: np.ndarray, num_nodes: int) -> "CSRGraph":
+        src, dst = np.asarray(edge_index)
+        order = np.argsort(dst, kind="stable")
+        src = src[order]
+        indptr = np.zeros(num_nodes + 1, dtype=np.int64)
+        np.cumsum(np.bincount(dst, minlength=num_nodes), out=indptr[1:])
+        return cls(indptr=indptr, indices=src.astype(np.int64))
+
+    @property
+    def num_nodes(self) -> int:
+        return len(self.indptr) - 1
+
+
+@dataclasses.dataclass
+class SampledBatch:
+    """Static-shape sampled subgraph; seeds occupy rows [0, num_seeds)."""
+
+    node_ids: np.ndarray  # [node_cap] global ids (0-padded)
+    edge_src: np.ndarray  # [edge_cap] local, dst-sorted
+    edge_dst: np.ndarray  # [edge_cap] local
+    edge_weight: np.ndarray  # [edge_cap] f32, 0 on padding
+    node_mask: np.ndarray  # [node_cap] 1.0 on real nodes
+    num_seeds: int
+    num_nodes: int  # real nodes
+
+
+def _sample_neighbors(
+    csr: CSRGraph, frontier: np.ndarray, fanout: int, rng: np.random.Generator
+):
+    """Vectorized fanout sampling: for each frontier node take min(deg, k)
+    distinct in-neighbors.  Returns (src_global, dst_global) edge arrays."""
+    deg = csr.indptr[frontier + 1] - csr.indptr[frontier]
+    k = np.minimum(deg, fanout)
+    # random offsets: for deg<=fanout take all; else a random slice start of
+    # a permuted-window approximation — draw k distinct offsets via sorting
+    # random floats (Gumbel-topk style, fully vectorized)
+    total = int(k.sum())
+    if total == 0:
+        return (np.empty(0, dtype=np.int64),) * 2
+    rep_node = np.repeat(frontier, k)
+    rep_start = np.repeat(csr.indptr[frontier], k)
+    rep_deg = np.repeat(deg, k)
+    # positions within each node's neighbor list: for nodes where k == deg,
+    # enumerate 0..deg-1; where k < deg, draw k random (with-replacement)
+    # offsets — the dedup pass below coalesces duplicates.
+    enum = np.arange(total) - np.repeat(np.cumsum(k) - k, k)
+    rand = (rng.random(total) * rep_deg).astype(np.int64)
+    take_all = np.repeat(deg <= fanout, k)
+    offset = np.where(take_all, enum, rand)
+    src = csr.indices[rep_start + offset]
+    return src, rep_node
+
+
+class NeighborSampler:
+    """Layer-wise neighbor sampling producing padded static-shape batches."""
+
+    def __init__(
+        self,
+        edge_index: np.ndarray,
+        num_nodes: int,
+        fanouts: Sequence[int] = (15, 10, 5),
+        batch_size: int = 1000,
+        *,
+        node_cap: Optional[int] = None,
+        edge_cap: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.csr = CSRGraph.from_edge_index(edge_index, num_nodes)
+        self.fanouts = list(fanouts)
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        # worst-case: seeds * prod(1 + fanout_l) nodes; cap below worst case
+        # (real graphs overlap heavily), overflow is trimmed deterministically
+        worst = batch_size
+        cap = batch_size
+        for f in self.fanouts:
+            worst = worst * f
+            cap += worst
+        self.node_cap = node_cap or min(cap, batch_size * 64)
+        self.edge_cap = edge_cap or self.node_cap * max(self.fanouts)
+
+    def sample(self, seeds: np.ndarray) -> SampledBatch:
+        seeds = np.asarray(seeds, dtype=np.int64)
+        all_src, all_dst = [], []
+        nodes = seeds  # seeds first; later hops appended (vectorized)
+        frontier = seeds
+        for fanout in self.fanouts:
+            src, dst = _sample_neighbors(self.csr, frontier, fanout, self.rng)
+            if len(src) == 0:
+                break
+            # dedup (dst, src) pairs from with-replacement draws
+            key = dst * self.csr.num_nodes + src
+            _, uniq_idx = np.unique(key, return_index=True)
+            src, dst = src[uniq_idx], dst[uniq_idx]
+            all_src.append(src)
+            all_dst.append(dst)
+            new = np.setdiff1d(src, nodes)
+            frontier = new
+            nodes = np.concatenate([nodes, new])
+            if len(nodes) >= self.node_cap:
+                break
+
+        node_ids = nodes[: self.node_cap]
+        if all_src:
+            src = np.concatenate(all_src)
+            dst = np.concatenate(all_dst)
+            # vectorized relabel via sorted lookup (nodes beyond the cap drop)
+            sorter = np.argsort(node_ids)
+            sorted_ids = node_ids[sorter]
+            s_pos = np.searchsorted(sorted_ids, src)
+            d_pos = np.searchsorted(sorted_ids, dst)
+            s_pos = np.minimum(s_pos, len(sorted_ids) - 1)
+            d_pos = np.minimum(d_pos, len(sorted_ids) - 1)
+            keep = (sorted_ids[s_pos] == src) & (sorted_ids[d_pos] == dst)
+            src = sorter[s_pos[keep]]
+            dst = sorter[d_pos[keep]]
+        else:
+            src = dst = np.empty(0, dtype=np.int64)
+        # add self-loops on real nodes (reference adds them globally,
+        # nb-sample.py:80)
+        n_real = len(node_ids)
+        loop = np.arange(n_real, dtype=np.int64)
+        src = np.concatenate([src, loop])
+        dst = np.concatenate([dst, loop])
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        from sgformer_tpu.graph import gcn_norm_weights
+
+        w = gcn_norm_weights(src, dst, n_real).astype(np.float32)
+        e = len(src)
+        if e > self.edge_cap:
+            src, dst, w = src[: self.edge_cap], dst[: self.edge_cap], w[: self.edge_cap]
+            e = self.edge_cap
+        pad_e = self.edge_cap - e
+        src = np.concatenate([src, np.zeros(pad_e, dtype=np.int64)])
+        dst = np.concatenate(
+            [dst, np.full(pad_e, max(n_real - 1, 0), dtype=np.int64)]
+        )
+        w = np.concatenate([w, np.zeros(pad_e, dtype=np.float32)])
+        pad_n = self.node_cap - n_real
+        node_ids = np.concatenate([node_ids, np.zeros(pad_n, dtype=np.int64)])
+        node_mask = np.zeros(self.node_cap, dtype=np.float32)
+        node_mask[:n_real] = 1.0
+        return SampledBatch(
+            node_ids=node_ids,
+            edge_src=src.astype(np.int32),
+            edge_dst=dst.astype(np.int32),
+            edge_weight=w,
+            node_mask=node_mask,
+            num_seeds=len(seeds),
+            num_nodes=n_real,
+        )
+
+    def epoch(self, seed_pool: np.ndarray, shuffle: bool = True) -> Iterator[SampledBatch]:
+        """Full-batch iterator over the seed pool (drops the remainder so
+        every batch has exactly ``batch_size`` seeds, like the reference's
+        ``drop_last`` semantics for static shapes)."""
+        pool = np.asarray(seed_pool)
+        if shuffle:
+            pool = pool[self.rng.permutation(len(pool))]
+        for i in range(0, len(pool) - self.batch_size + 1, self.batch_size):
+            yield self.sample(pool[i : i + self.batch_size])
+
+
+class PrefetchIterator:
+    """Run a batch iterator in a background thread with a bounded queue —
+    the sampler works on batch k+1..k+depth while the device runs batch k
+    (the reference leans on DataLoader worker processes for this,
+    ``nb-sample.py:131-132``)."""
+
+    def __init__(self, iterator, depth: int = 2):
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self.thread = threading.Thread(
+            target=self._fill, args=(iterator,), daemon=True
+        )
+        self.thread.start()
+
+    def _fill(self, iterator):
+        try:
+            for item in iterator:
+                self.q.put(item)
+        finally:
+            self.q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self.q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

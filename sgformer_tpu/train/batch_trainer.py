@@ -1,0 +1,337 @@
+"""Random-partition mini-batch trainer — the TPU equivalent of
+``/root/reference/large/main-batch.py:110-167``.
+
+Reference semantics preserved:
+- each epoch draws a fresh random node permutation and slices it into
+  ``n // batch_size`` equal batches (remainder dropped,
+  ``main-batch.py:134-136``);
+- each batch trains on its node-induced subgraph (cross-batch edges
+  dropped, nodes relabeled — PyG ``subgraph`` at ``main-batch.py:139``);
+- the attention branch sees only the batch's nodes (N in the kernel = batch
+  size);
+- degree normalization is computed ON the subgraph (the reference's
+  GraphConvLayer normalizes per forward, ``large/ours.py:27-32``);
+- eval is either full-graph (reference offloads to CPU,
+  ``large/eval.py:36-65`` — here the chip holds it) or streaming batched
+  (``evaluate_batch``, ``large/eval.py:67-118``).
+
+TPU-first differences: node count per batch is a compile-time constant;
+subgraph edge counts are padded up a geometric bucket ladder so XLA
+compiles a handful of step shapes, not one per batch.  Subgraph extraction
+is vectorized numpy on the host, overlapped with device compute by the
+dispatch queue (jax async dispatch).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgformer_tpu.data.metrics import METRICS, count_correct
+from sgformer_tpu.graph import Graph, gcn_norm_weights, pyg_gcn_norm
+from sgformer_tpu.train.logger import RunLogger
+from sgformer_tpu.train.optim import dual_weight_decay_adam
+from sgformer_tpu.train.trainer import TrainConfig, bce_loss, cross_entropy_loss
+
+
+def edge_bucket(n_edges: int, ladder_base: int = 4096, growth: float = 1.3) -> int:
+    """Smallest ladder bucket >= n_edges (few distinct compiled shapes)."""
+    b = ladder_base
+    while b < n_edges:
+        b = int(b * growth) // 128 * 128 + 128
+    return b
+
+
+def build_subgraph_batch(
+    edge_index: np.ndarray,
+    node_idx: np.ndarray,
+    num_nodes_total: int,
+    *,
+    with_pyg_norm: bool = False,
+    bucket: Optional[int] = None,
+) -> Graph:
+    """Node-induced, relabeled, degree-normalized, edge-padded subgraph."""
+    node_idx = np.asarray(node_idx)
+    b = len(node_idx)
+    mapping = np.full(num_nodes_total, -1, dtype=np.int64)
+    mapping[node_idx] = np.arange(b)
+    src, dst = edge_index
+    mask = (mapping[src] >= 0) & (mapping[dst] >= 0)
+    s, d = mapping[src[mask]], mapping[dst[mask]]
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    w = gcn_norm_weights(s, d, b)
+    e = len(s)
+    cap = bucket if bucket is not None else edge_bucket(e)
+    if e > cap:
+        raise ValueError(f"bucket {cap} < subgraph edges {e}")
+    pad = cap - e
+    s = np.concatenate([s, np.zeros(pad, dtype=s.dtype)])
+    d = np.concatenate([d, np.full(pad, b - 1, dtype=d.dtype)])
+    w = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
+    indptr = np.zeros(b + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d[: e], minlength=b), out=indptr[1:])
+    indptr[-1] = cap
+    pyg_src = pyg_dst = pyg_weight = None
+    if with_pyg_norm:
+        ps, pd, pw = pyg_gcn_norm(np.stack([s[:e], d[:e]]), b)
+        ppad = cap + b - len(ps)
+        pyg_src = jnp.asarray(
+            np.concatenate([ps, np.zeros(max(ppad, 0), dtype=ps.dtype)])
+        )
+        pyg_dst = jnp.asarray(
+            np.concatenate([pd, np.full(max(ppad, 0), b - 1, dtype=pd.dtype)])
+        )
+        pyg_weight = jnp.asarray(
+            np.concatenate([pw, np.zeros(max(ppad, 0), dtype=pw.dtype)])
+        )
+    return Graph(
+        edge_src=jnp.asarray(s, dtype=jnp.int32),
+        edge_dst=jnp.asarray(d, dtype=jnp.int32),
+        gcn_weight=jnp.asarray(w.astype(np.float32)),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        num_nodes=int(b),
+        num_edges=int(cap),
+        pyg_src=pyg_src,
+        pyg_dst=pyg_dst,
+        pyg_weight=pyg_weight,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchTrainConfig(TrainConfig):
+    batch_size: int = 10000
+    eval_mode: str = "full"  # 'full' | 'batch' (streaming, papers100M path)
+    ladder_base: int = 65536
+
+
+class BatchTrainer:
+    """``main-batch.py`` loop: per-epoch random partition, per-batch step."""
+
+    def __init__(
+        self,
+        model,
+        edge_index: np.ndarray,
+        x: np.ndarray,
+        label: np.ndarray,
+        config: BatchTrainConfig,
+        eval_func=None,
+        full_graph: Optional[Graph] = None,
+        with_pyg_norm: bool = False,
+    ):
+        self.model = model
+        self.edge_index = np.asarray(edge_index)
+        self.x = np.asarray(x, dtype=np.float32)
+        self.label_np = np.asarray(label)
+        self.label_flat = self.label_np.reshape(-1).astype(np.int32)
+        self.config = config
+        self.eval_func = eval_func or METRICS[config.metric]
+        self.num_nodes = self.x.shape[0]
+        self.with_pyg_norm = with_pyg_norm
+        self.full_graph = full_graph
+        if config.loss == "bce":
+            if self.label_np.ndim == 1 or self.label_np.shape[1] == 1:
+                n_cls = int(self.label_np.max()) + 1
+                self.label_onehot = np.eye(n_cls, dtype=np.float32)[
+                    self.label_np.reshape(-1)
+                ]
+            else:
+                self.label_onehot = self.label_np.astype(np.float32)
+        self._steps = {}
+
+    # -- jitted per-bucket steps --------------------------------------------
+
+    def _train_step_for(self, tx):
+        cfg = self.config
+
+        @jax.jit
+        def train_step(state, opt_state, rng, x_b, graph_b, label_b, train_mask_b):
+            def loss_fn(params, batch_stats):
+                out, mut = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x_b,
+                    graph_b,
+                    train=True,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                m = train_mask_b.astype(jnp.float32)
+                if cfg.loss == "bce":
+                    per = optax.sigmoid_binary_cross_entropy(
+                        out, label_b.astype(out.dtype)
+                    ).mean(axis=-1)
+                else:
+                    logp = jax.nn.log_softmax(out)
+                    per = -jnp.take_along_axis(
+                        logp, label_b[:, None], axis=1
+                    )[:, 0]
+                loss = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+                return loss, mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], state["batch_stats"]
+            )
+            updates, opt_state = tx.update(grads, opt_state, state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "batch_stats": new_bs}, opt_state, loss
+
+        return train_step
+
+    # -- eval ---------------------------------------------------------------
+
+    def _eval_logits_full(self, state) -> np.ndarray:
+        assert self.full_graph is not None, (
+            "full-graph eval needs full_graph=preprocess_graph(...)"
+        )
+
+        @jax.jit
+        def eval_step(state, x, graph):
+            return self.model.apply(
+                {"params": state["params"], "batch_stats": state["batch_stats"]},
+                x,
+                graph,
+                train=False,
+            )
+
+        return np.asarray(eval_step(state, jnp.asarray(self.x), self.full_graph))
+
+    def _eval_streaming(self, state, split_idx, rng) -> dict:
+        """``evaluate_batch`` (large/eval.py:67-118): random batches per
+        split, streaming correct/total counts."""
+        cfg = self.config
+
+        @jax.jit
+        def fwd(state, x, graph):
+            return self.model.apply(
+                {"params": state["params"], "batch_stats": state["batch_stats"]},
+                x,
+                graph,
+                train=False,
+            )
+
+        res = {}
+        for split in ("train", "valid", "test"):
+            idx = np.asarray(split_idx[split])
+            total = correct = 0
+            for i in range(0, max(len(idx) - cfg.batch_size + 1, 1), cfg.batch_size):
+                bidx = idx[i : i + cfg.batch_size]
+                if len(bidx) < cfg.batch_size:
+                    break
+                gb = build_subgraph_batch(
+                    self.edge_index, bidx, self.num_nodes,
+                    with_pyg_norm=self.with_pyg_norm,
+                    bucket=self._eval_bucket,
+                )
+                out = np.asarray(fwd(state, jnp.asarray(self.x[bidx]), gb))
+                t, c = count_correct(self.label_flat[bidx], out)
+                total += t
+                correct += c
+            res[split] = correct / max(total, 1)
+        return res
+
+    # -- main loop -----------------------------------------------------------
+
+    def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
+        cfg = self.config
+        logger = RunLogger(cfg.runs, mode=cfg.mode)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        np_rng = np.random.default_rng(cfg.seed)
+        B = cfg.batch_size
+        num_batches = self.num_nodes // B
+        # one bucket for all batches: size to the expected subgraph edge
+        # count with headroom, so every step shares one compiled shape
+        exp_edges = int(
+            self.edge_index.shape[1] * (B / self.num_nodes) ** 2 + B
+        )
+        self._bucket = edge_bucket(
+            int(exp_edges * 2.0) + cfg.ladder_base, cfg.ladder_base
+        )
+        self._eval_bucket = self._bucket
+
+        for run in range(cfg.runs):
+            split_idx = split_idx_lst[run % len(split_idx_lst)]
+            train_set = np.zeros(self.num_nodes, dtype=bool)
+            train_set[np.asarray(split_idx["train"])] = True
+
+            rng, init_rng = jax.random.split(rng)
+            warm_idx = np.arange(B)
+            warm_graph = build_subgraph_batch(
+                self.edge_index, warm_idx, self.num_nodes,
+                with_pyg_norm=self.with_pyg_norm, bucket=self._bucket,
+            )
+            variables = self.model.init(
+                {"params": init_rng}, jnp.asarray(self.x[warm_idx]),
+                warm_graph, train=False,
+            )
+            params = variables["params"]
+            state = {
+                "params": params,
+                "batch_stats": variables.get("batch_stats", {}),
+            }
+            tx = dual_weight_decay_adam(
+                params, cfg.lr, cfg.trans_weight_decay, cfg.gnn_weight_decay
+            )
+            opt_state = tx.init(params)
+            train_step = self._train_step_for(tx)
+
+            for epoch in range(cfg.epochs):
+                perm = np_rng.permutation(self.num_nodes)
+                for i in range(num_batches):
+                    bidx = perm[i * B : (i + 1) * B]
+                    gb = build_subgraph_batch(
+                        self.edge_index, bidx, self.num_nodes,
+                        with_pyg_norm=self.with_pyg_norm, bucket=self._bucket,
+                    )
+                    rng, drop = jax.random.split(rng)
+                    lab = (
+                        jnp.asarray(self.label_onehot[bidx])
+                        if cfg.loss == "bce"
+                        else jnp.asarray(self.label_flat[bidx])
+                    )
+                    state, opt_state, loss = train_step(
+                        state, opt_state, drop,
+                        jnp.asarray(self.x[bidx]), gb, lab,
+                        jnp.asarray(train_set[bidx]),
+                    )
+                if epoch % cfg.eval_step == 0:
+                    if cfg.eval_mode == "batch":
+                        accs = self._eval_streaming(state, split_idx, np_rng)
+                        result = (accs["train"], accs["valid"], accs["test"], 0.0)
+                    else:
+                        out = self._eval_logits_full(state)
+                        result = self._full_metrics(out, split_idx)
+                    logger.add_result(run, result)
+                    if cfg.display_step > 0 and epoch % cfg.display_step == 0:
+                        print(
+                            f"Epoch: {epoch:02d}, Loss: {float(loss):.4f}, "
+                            f"Train: {100 * result[0]:.2f}%, "
+                            f"Valid: {100 * result[1]:.2f}%, "
+                            f"Test: {100 * result[2]:.2f}%"
+                        )
+            if cfg.display_step >= 0:
+                logger.print_statistics(run)
+        return logger
+
+    def _full_metrics(self, out, split_idx):
+        res = []
+        for split in ("train", "valid", "test"):
+            idx = np.asarray(split_idx[split])
+            res.append(self.eval_func(self.label_np[idx], out[idx]))
+        vidx = np.asarray(split_idx["valid"])
+        logits = out[vidx]
+        logp = logits - _np_logsumexp(logits)
+        vloss = float(
+            -logp[np.arange(len(vidx)), self.label_flat[vidx]].mean()
+        )
+        res.append(vloss)
+        return tuple(res)
+
+
+def _np_logsumexp(x):
+    m = x.max(axis=-1, keepdims=True)
+    return m + np.log(np.exp(x - m).sum(axis=-1, keepdims=True))

@@ -1,0 +1,226 @@
+"""Neighbor-sampled trainer — the papers100M path
+(``/root/reference/100M/nb-sample.py:70-246``).
+
+Reference semantics preserved:
+- train/valid/test each get their own sampler over their split's seeds;
+- the loss reads only the SEED rows of the output (seeds are the first
+  ``batch_size`` rows, ``nb-sample.py:27-35``);
+- streaming correct/total eval over the valid/test loaders each epoch;
+- best-on-valid model selection, optional checkpoint save, and a
+  ``--use_pretrained`` finetune path that restores the saved params
+  (``nb-sample.py:158-160``).
+
+TPU-first: batches are padded to static caps so ONE jitted step serves the
+epoch; the host sampler runs ahead of the device via PrefetchIterator.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sgformer_tpu.graph import Graph
+from sgformer_tpu.sample.neighbor import NeighborSampler, PrefetchIterator
+from sgformer_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from sgformer_tpu.train.logger import RunLogger
+from sgformer_tpu.train.optim import dual_weight_decay_adam
+from sgformer_tpu.train.trainer import TrainConfig
+
+
+def batch_graph(batch) -> Graph:
+    """Static-shape Graph view of a SampledBatch."""
+    n = len(batch.node_mask)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    return Graph(
+        edge_src=jnp.asarray(batch.edge_src),
+        edge_dst=jnp.asarray(batch.edge_dst),
+        gcn_weight=jnp.asarray(batch.edge_weight),
+        indptr=jnp.asarray(indptr, dtype=jnp.int32),
+        num_nodes=int(n),
+        num_edges=int(len(batch.edge_src)),
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class SampledTrainConfig(TrainConfig):
+    batch_size: int = 1000
+    fanouts: tuple = (15, 10, 5)
+    node_cap: Optional[int] = None
+    edge_cap: Optional[int] = None
+    save_model: bool = False
+    model_dir: str = "models/ckpt"
+    use_pretrained: bool = False
+    prefetch_depth: int = 2
+
+
+class SampledTrainer:
+    def __init__(
+        self,
+        model,
+        edge_index: np.ndarray,
+        x: np.ndarray,
+        label: np.ndarray,
+        config: SampledTrainConfig,
+    ):
+        self.model = model
+        self.config = config
+        self.x = np.asarray(x, dtype=np.float32)
+        self.label = np.asarray(label).reshape(-1).astype(np.int32)
+        self.edge_index = np.asarray(edge_index)
+        self.num_nodes = self.x.shape[0]
+        self.sampler = NeighborSampler(
+            self.edge_index,
+            self.num_nodes,
+            fanouts=config.fanouts,
+            batch_size=config.batch_size,
+            node_cap=config.node_cap,
+            edge_cap=config.edge_cap,
+            seed=config.seed,
+        )
+
+    def _steps(self, tx):
+        cfg = self.config
+        n_seed = cfg.batch_size
+
+        @jax.jit
+        def train_step(state, opt_state, rng, x_b, graph_b, label_b, node_mask):
+            def loss_fn(params, batch_stats):
+                out, mut = self.model.apply(
+                    {"params": params, "batch_stats": batch_stats},
+                    x_b,
+                    graph_b,
+                    train=True,
+                    node_mask=node_mask,
+                    rngs={"dropout": rng},
+                    mutable=["batch_stats"],
+                )
+                # CrossEntropy on the seed rows only (nb-sample.py:30-33)
+                logp = jax.nn.log_softmax(out[:n_seed])
+                per = -jnp.take_along_axis(
+                    logp, label_b[:n_seed, None], axis=1
+                )[:, 0]
+                return per.mean(), mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"], state["batch_stats"]
+            )
+            updates, opt_state = tx.update(grads, opt_state, state["params"])
+            params = optax.apply_updates(state["params"], updates)
+            return {"params": params, "batch_stats": new_bs}, opt_state, loss
+
+        @jax.jit
+        def eval_step(state, x_b, graph_b, node_mask):
+            out = self.model.apply(
+                {"params": state["params"], "batch_stats": state["batch_stats"]},
+                x_b,
+                graph_b,
+                train=False,
+                node_mask=node_mask,
+            )
+            return jnp.argmax(out[:n_seed], axis=-1)
+
+        return train_step, eval_step
+
+    def _sweep(self, eval_step, state, seeds: np.ndarray):
+        """Streaming accuracy over one split (nb-sample.py:38-45)."""
+        total = correct = 0
+        it = PrefetchIterator(
+            self.sampler.epoch(seeds, shuffle=False),
+            depth=self.config.prefetch_depth,
+        )
+        for batch in it:
+            g = batch_graph(batch)
+            pred = np.asarray(
+                eval_step(
+                    state,
+                    jnp.asarray(self.x[batch.node_ids]),
+                    g,
+                    jnp.asarray(batch.node_mask),
+                )
+            )
+            lab = self.label[batch.node_ids[: batch.num_seeds]]
+            total += batch.num_seeds
+            correct += int((pred[: batch.num_seeds] == lab).sum())
+        return correct / max(total, 1)
+
+    def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
+        cfg = self.config
+        logger = RunLogger(cfg.runs, mode=cfg.mode)
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        best_state = None
+
+        for run in range(cfg.runs):
+            split_idx = split_idx_lst[run % len(split_idx_lst)]
+            train_seeds = np.asarray(split_idx["train"])
+            rng, init_rng = jax.random.split(rng)
+            warm = self.sampler.sample(train_seeds[: cfg.batch_size])
+            g0 = batch_graph(warm)
+            variables = self.model.init(
+                {"params": init_rng},
+                jnp.asarray(self.x[warm.node_ids]),
+                g0,
+                train=False,
+                node_mask=jnp.asarray(warm.node_mask),
+            )
+            params = variables["params"]
+            if cfg.use_pretrained:
+                restored = load_checkpoint(cfg.model_dir)
+                params = jax.tree_util.tree_map(
+                    jnp.asarray, restored["state"]["params"]
+                )
+            state = {
+                "params": params,
+                "batch_stats": variables.get("batch_stats", {}),
+            }
+            tx = dual_weight_decay_adam(
+                params, cfg.lr, cfg.trans_weight_decay, cfg.gnn_weight_decay
+            )
+            opt_state = tx.init(params)
+            train_step, eval_step = self._steps(tx)
+
+            best_val = -1.0
+            for epoch in range(cfg.epochs):
+                it = PrefetchIterator(
+                    self.sampler.epoch(train_seeds, shuffle=True),
+                    depth=cfg.prefetch_depth,
+                )
+                loss = jnp.zeros(())
+                for batch in it:
+                    g = batch_graph(batch)
+                    rng, drop = jax.random.split(rng)
+                    state, opt_state, loss = train_step(
+                        state,
+                        opt_state,
+                        drop,
+                        jnp.asarray(self.x[batch.node_ids]),
+                        g,
+                        jnp.asarray(self.label[batch.node_ids]),
+                        jnp.asarray(batch.node_mask),
+                    )
+                accs = {
+                    split: self._sweep(eval_step, state, np.asarray(split_idx[split]))
+                    for split in ("train", "valid", "test")
+                }
+                logger.add_result(
+                    run, (accs["train"], accs["valid"], accs["test"], 0.0)
+                )
+                if accs["valid"] > best_val:
+                    best_val = accs["valid"]
+                    best_state = jax.tree_util.tree_map(np.asarray, state)
+                if cfg.display_step > 0 and epoch % cfg.display_step == 0:
+                    print(
+                        f"Epoch {epoch:02d} loss {float(loss):.4f} "
+                        f"train {accs['train']:.4f} valid {accs['valid']:.4f} "
+                        f"test {accs['test']:.4f}"
+                    )
+            if cfg.save_model and best_state is not None:
+                save_checkpoint(cfg.model_dir, best_state, step=cfg.epochs)
+            if cfg.display_step >= 0:
+                logger.print_statistics(run)
+        self.best_state = best_state
+        return logger

@@ -1,0 +1,66 @@
+"""CLI end-to-end: every trainer mode and a couple of methods through
+``sgformer_tpu.cli.main`` on synthetic datasets (SURVEY.md §2.6 parity)."""
+
+import numpy as np
+import pytest
+
+from sgformer_tpu.cli.main import main
+
+
+def test_cli_full_trainer(tmp_path):
+    logger = main([
+        "--dataset", "synth-n300-e2400-f16-c4", "--method", "sgformer",
+        "--trainer", "full", "--epochs", "15", "--eval_step", "5",
+        "--display_step", "-1", "--rand_split", "--hidden_channels", "32",
+        "--save_result", "--result_dir", str(tmp_path),
+    ])
+    assert logger.run_summary(0)["final_test"] > 0.4
+    assert list(tmp_path.glob("*.txt"))
+
+
+def test_cli_batch_trainer():
+    logger = main([
+        "--dataset", "synth-n400-e3000-f16-c4", "--method", "sgformer",
+        "--trainer", "batch", "--batch_size", "150", "--epochs", "10",
+        "--eval_step", "5", "--display_step", "-1", "--rand_split",
+        "--backbone", "graphconv",
+    ])
+    assert logger.results[0]
+
+
+def test_cli_sampled_trainer():
+    logger = main([
+        "--dataset", "synth-n300-e2400-f16-c4", "--method", "sgformer",
+        "--trainer", "sampled", "--batch_size", "64", "--epochs", "3",
+        "--fanouts", "5", "3", "--display_step", "-1", "--rand_split",
+        "--backbone", "graphconv",
+    ])
+    assert logger.results[0]
+
+
+def test_cli_sharded_trainer():
+    logger = main([
+        "--dataset", "synth-n300-e2400-f16-c4", "--method", "sgformer",
+        "--trainer", "sharded", "--epochs", "10", "--eval_step", "5",
+        "--display_step", "-1", "--rand_split", "--backbone", "graphconv",
+    ])
+    assert logger.results[0]
+
+
+@pytest.mark.parametrize("method", ["gcn", "mlp", "sgc", "appnp", "link"])
+def test_cli_baseline_methods(method):
+    logger = main([
+        "--dataset", "synth-n200-e1500-f12-c3", "--method", method,
+        "--trainer", "full", "--epochs", "5", "--eval_step", "5",
+        "--display_step", "-1", "--rand_split",
+    ])
+    assert logger.results[0]
+
+
+def test_cli_ablation_attention():
+    logger = main([
+        "--dataset", "synth-n200-e1500-f12-c3", "--method", "sgformer",
+        "--attention", "softmax", "--trainer", "full", "--epochs", "5",
+        "--eval_step", "5", "--display_step", "-1", "--rand_split",
+    ])
+    assert logger.results[0]
