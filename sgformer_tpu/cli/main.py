@@ -98,9 +98,9 @@ def main(argv=None):
         seed=args.seed,
         display_step=args.display_step,
     )
-    needs_pyg = args.method in ("gcn", "gcnjk") or (
-        args.method in ("sgformer", "ours") and args.backbone == "gcn"
-    )
+    needs_pyg = args.method in (
+        "gcn", "gcnjk", "graphtrans", "graphgps"
+    ) or (args.method in ("sgformer", "ours") and args.backbone == "gcn")
 
     if args.trainer in ("full", "sharded"):
         graph = preprocess_graph(
@@ -108,12 +108,34 @@ def main(argv=None):
             with_pyg_norm=needs_pyg, with_chunks=args.use_pallas,
             chunk_dtype=args.chunk_dtype,
         )
+        model_kwargs = {}
+        if args.method == "h2gcn":
+            from sgformer_tpu.graph import build_h2_graphs
+
+            model_kwargs["h2_graphs"] = build_h2_graphs(
+                ds.graph["edge_index"], n
+            )
+        elif args.method == "nodeformer":
+            from sgformer_tpu.nn import build_nodeformer_adjs
+
+            model_kwargs["adjs"] = build_nodeformer_adjs(
+                ds.graph["edge_index"], n, rb_order=2
+            )
+        elif args.method == "graphormer":
+            from sgformer_tpu.nn import graphormer_inputs
+
+            model_kwargs["inputs"] = graphormer_inputs(
+                ds.graph["edge_index"], (x > 0).astype(np.int64), n
+            )
         if args.trainer == "sharded":
             from sgformer_tpu.parallel.sharded import ShardedTrainer
 
             trainer = ShardedTrainer(model, graph, x, ds.label, TrainConfig(**common))
         else:
-            trainer = Trainer(model, graph, x, ds.label, TrainConfig(**common))
+            trainer = Trainer(
+                model, graph, x, ds.label, TrainConfig(**common),
+                model_kwargs=model_kwargs,
+            )
     elif args.trainer == "batch":
         from sgformer_tpu.graph import (
             add_self_loops,

@@ -182,4 +182,39 @@ def parse_method(args, n: int, c: int, d: int):
         return GPRGNN(args.hidden_channels, c, dropout=args.dropout)
     if method == "link":
         return LINK(n, c)
+    if method == "difformer":
+        from sgformer_tpu.nn import DIFFormer
+
+        return DIFFormer(args.hidden_channels, c, num_layers=args.num_layers,
+                         num_heads=args.num_heads, alpha=args.alpha,
+                         dropout=args.dropout, use_bn=use_bn)
+    if method == "nodeformer":
+        from sgformer_tpu.nn import NodeFormer
+
+        return NodeFormer(args.hidden_channels, c, num_layers=args.num_layers,
+                          num_heads=args.num_heads, dropout=args.dropout,
+                          use_bn=use_bn, rb_order=2)
+    if method == "graphtrans":
+        from sgformer_tpu.nn import GraphTrans
+
+        return GraphTrans(args.hidden_channels, c, num_layers=args.num_layers,
+                          dropout=args.dropout, use_bn=use_bn)
+    if method == "graphgps":
+        from sgformer_tpu.nn import GraphGPS
+
+        return GraphGPS(args.hidden_channels, c, num_layers=args.num_layers,
+                        num_heads=max(args.num_heads, 1), dropout=args.dropout,
+                        use_bn=use_bn)
+    if method == "graphormer":
+        from sgformer_tpu.nn import Graphormer
+
+        return Graphormer(c, embed_dim=args.hidden_channels,
+                          num_layers=args.num_layers,
+                          num_heads=max(args.num_heads, 1),
+                          dropout=args.dropout, attn_dropout=args.dropout)
+    if method == "h2gcn":
+        from sgformer_tpu.nn import H2GCN
+
+        return H2GCN(args.hidden_channels, c, num_layers=args.num_layers,
+                     dropout=args.dropout)
     raise ValueError(f"unknown method {method}")

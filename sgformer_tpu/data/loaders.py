@@ -322,12 +322,88 @@ def load_dataset(data_dir: str, name: str, sub_dataset: str = "") -> NCDataset:
     if name == "arxiv-year":
         ds = load_ogb(data_dir, "ogbn-arxiv")
         ds.name = name
-        # label = publication-year quantile buckets (large/dataset.py:162-171)
-        years = ds.label.reshape(-1).astype(np.float64)
+        # label = publication-year quantile buckets (large/dataset.py:162-171);
+        # years come from the node_year raw column
+        year_path = Path(data_dir) / "ogbn_arxiv" / "raw" / "node_year.csv.gz"
+        if year_path.exists():
+            years = _read_csv_gz_ints(year_path).reshape(-1).astype(np.float64)
+        else:
+            years = ds.label.reshape(-1).astype(np.float64)
         ds.label = even_quantile_labels(years, 5).reshape(-1, 1)
         ds.load_fixed_splits = None
         return ds
+    if name == "snap-patents":
+        ds = _load_mat_any(data_dir, "snap_patents", name)
+        # label = grant-year quantile buckets (large/dataset.py:176-186)
+        years = ds.label.reshape(-1).astype(np.float64)
+        ds.label = even_quantile_labels(years, 5).reshape(-1, 1)
+        return ds
+    if name == "yelp-chi":
+        return _load_mat_any(data_dir, "YelpChi", name)
+    if name == "twitch-e":
+        lang = sub_dataset or "DE"
+        return _load_mat_any(data_dir, f"twitch_{lang}", name)
+    if name == "ogbn-papers100M-sub":
+        return _load_papers100m_sub(data_dir)
+    # generic fallback: try npz then mat with the dataset's own name
+    for candidate in (
+        Path(data_dir) / f"{name}.npz",
+        Path(data_dir) / name / f"{name}.npz",
+    ):
+        if candidate.exists():
+            return load_npz_graph(str(candidate), name)
+    for candidate in (
+        Path(data_dir) / f"{name}.mat",
+        Path(data_dir) / name / f"{name}.mat",
+    ):
+        if candidate.exists():
+            return load_mat_graph(str(candidate), name)
     raise ValueError(f"Unknown dataset: {name}")
+
+
+def _load_mat_any(data_dir: str, fname: str, name: str) -> NCDataset:
+    for candidate in (
+        Path(data_dir) / f"{fname}.mat",
+        Path(data_dir) / name / f"{fname}.mat",
+    ):
+        if candidate.exists():
+            return load_mat_graph(str(candidate), name)
+    raise FileNotFoundError(f"{name}: no {fname}.mat under {data_dir}")
+
+
+def _load_papers100m_sub(data_dir: str, num_sub: int = 1_000_000) -> NCDataset:
+    """First-``num_sub``-node cached subgraph of ogbn-papers100M
+    (``large/dataset.py:628-698``): keeps edges with both endpoints below
+    the cutoff, persists the extraction so later runs load instantly."""
+    root = Path(data_dir) / "ogbn_papers100M"
+    cache = root / f"sub_{num_sub}.npz"
+    ds = NCDataset("ogbn-papers100M-sub")
+    if cache.exists():
+        z = np.load(cache)
+        ds.graph = {
+            "edge_index": z["edge_index"],
+            "node_feat": z["node_feat"],
+            "edge_feat": None,
+            "num_nodes": int(z["num_nodes"]),
+        }
+        ds.label = z["label"]
+        return ds
+    full = load_ogb(data_dir, "ogbn-papers100M")
+    e = full.graph["edge_index"]
+    mask = (e[0] < num_sub) & (e[1] < num_sub)
+    sub_e = e[:, mask]
+    ds.graph = {
+        "edge_index": sub_e,
+        "node_feat": full.graph["node_feat"][:num_sub],
+        "edge_feat": None,
+        "num_nodes": num_sub,
+    }
+    ds.label = full.label[:num_sub]
+    np.savez_compressed(
+        cache, edge_index=sub_e, node_feat=ds.graph["node_feat"],
+        label=ds.label, num_nodes=num_sub,
+    )
+    return ds
 
 
 def _proteins_node_feats(data_dir: str, ds: NCDataset) -> None:

@@ -84,6 +84,24 @@ def _build_plan(
     indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
     np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
 
+    from sgformer_tpu.native.api import fill_chunk_plan_native
+
+    native = fill_chunk_plan_native(
+        indptr, src, dst, weight, n_windows * W, W, C
+    )
+    if native is not None:
+        g, ld, wt, wid = native
+        return ChunkPlan(
+            gather_idx=jnp.asarray(g),
+            local_dst=jnp.asarray(ld),
+            weight=jnp.asarray(wt),
+            window_id=jnp.asarray(wid),
+            chunk_edges=C,
+            window_rows=W,
+            num_rows_out=n_windows * W,
+            num_chunks=len(wid),
+        )
+
     g_idx, l_dst, wts, wids = [], [], [], []
     for w in range(n_windows):
         e0 = int(indptr[w * W])

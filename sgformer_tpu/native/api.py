@@ -1,0 +1,88 @@
+"""numpy-facing wrappers over the native kernels (None if unavailable)."""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import numpy as np
+
+from sgformer_tpu.native.build import get_lib
+
+
+def _ptr(arr: np.ndarray, ctype):
+    return arr.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def fill_chunk_plan_native(
+    indptr: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_nodes: int,
+    window_rows: int,
+    chunk_edges: int,
+):
+    """C++ chunk-plan fill; returns (gather, local_dst, weight, window_id)
+    or None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    weight = np.ascontiguousarray(weight, dtype=np.float32)
+    n_chunks = int(
+        lib.count_chunks(_ptr(indptr, ctypes.c_int64), num_nodes,
+                         window_rows, chunk_edges)
+    )
+    gather = np.zeros((n_chunks, chunk_edges), dtype=np.int32)
+    ldst = np.zeros((n_chunks, chunk_edges), dtype=np.int32)
+    w = np.zeros((n_chunks, chunk_edges), dtype=np.float32)
+    wid = np.zeros(n_chunks, dtype=np.int32)
+    lib.fill_chunks(
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(src, ctypes.c_int32),
+        _ptr(dst, ctypes.c_int32),
+        _ptr(weight, ctypes.c_float),
+        num_nodes,
+        window_rows,
+        chunk_edges,
+        _ptr(gather, ctypes.c_int32),
+        _ptr(ldst, ctypes.c_int32),
+        _ptr(w, ctypes.c_float),
+        _ptr(wid, ctypes.c_int32),
+    )
+    return gather, ldst, w, wid
+
+
+def sample_neighbors_native(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    frontier: np.ndarray,
+    fanout: int,
+    seed: int,
+):
+    """C++ fanout sampling; returns (src, dst) global edge arrays or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    frontier = np.ascontiguousarray(frontier, dtype=np.int64)
+    cap = len(frontier) * fanout
+    out_src = np.empty(cap, dtype=np.int64)
+    out_dst = np.empty(cap, dtype=np.int64)
+    n = int(
+        lib.sample_neighbors(
+            _ptr(indptr, ctypes.c_int64),
+            _ptr(indices, ctypes.c_int64),
+            _ptr(frontier, ctypes.c_int64),
+            len(frontier),
+            fanout,
+            ctypes.c_uint64(seed & (2**64 - 1)).value,
+            _ptr(out_src, ctypes.c_int64),
+            _ptr(out_dst, ctypes.c_int64),
+        )
+    )
+    return out_src[:n], out_dst[:n]

@@ -1,0 +1,225 @@
+"""NodeFormer — kernelized-softmax graph transformer with Gumbel sampling,
+relational bias, and an edge-level regularization loss
+(``/root/reference/medium/nodeformer.py:11-397``).
+
+TPU design notes: the random-feature projection is drawn from the flax
+``'performer'`` rng collection (falling back to a fixed key) instead of the
+reference's data-dependent ``ceil(|Σq|·1e8)`` seed (``nodeformer.py:272-
+276``) — a traced value can't seed host RNG under jit, and a fresh jax key
+per step gives the same resampling behavior.  High-order adjacencies
+(``rb_order``) are precomputed once on the host
+(:func:`build_nodeformer_adjs`; the reference re-builds them with
+``torch.sparse.mm`` every forward, ``nodeformer.py:353-359``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.ops.attention_variants import (
+    create_projection_matrix,
+    softmax_kernel_transformation,
+)
+
+
+def build_nodeformer_adjs(edge_index: np.ndarray, num_nodes: int, rb_order: int = 2):
+    """[A+I, (A+I)², ...] edge lists, host-side (``nodeformer.py:348-359``)."""
+    from sgformer_tpu.data.transforms import adj_mul
+    from sgformer_tpu.graph import add_self_loops, remove_self_loops
+
+    adj = add_self_loops(remove_self_loops(np.asarray(edge_index)), num_nodes)
+    adjs = [jnp.asarray(adj)]
+    cur = adj
+    for _ in range(rb_order - 1):
+        import scipy.sparse as sp
+
+        src, dst = cur
+        a = sp.csr_matrix((np.ones(len(src)), (dst, src)), shape=(num_nodes,) * 2)
+        s0, d0 = adj
+        a0 = sp.csr_matrix((np.ones(len(s0)), (d0, s0)), shape=(num_nodes,) * 2)
+        prod = (a @ a0).tocoo()
+        cur = np.stack([prod.col, prod.row]).astype(np.int64)
+        adjs.append(jnp.asarray(cur))
+    return adjs
+
+
+def _edge_attention(q_prime, k_prime, den, edge_index):
+    start, end = edge_index
+    num = jnp.einsum(
+        "ehm,ehm->eh", q_prime[end], k_prime[start],
+        preferred_element_type=jnp.float32,
+    )
+    return num / den[end, :, 0]
+
+
+class NodeFormerConv(nn.Module):
+    """One NodeFormer layer (``nodeformer.py:236-301``)."""
+
+    out_channels: int
+    num_heads: int = 4
+    nb_random_features: int = 30
+    use_gumbel: bool = True
+    nb_gumbel_sample: int = 10
+    rb_order: int = 2
+    rb_trans: str = "sigmoid"
+    use_edge_loss: bool = True
+
+    @nn.compact
+    def __call__(self, z, adjs, tau: float = 0.25, *, train: bool = False):
+        n = z.shape[0]
+        h, d = self.num_heads, self.out_channels
+        q = TorchLinear(d * h, name="Wq")(z).reshape(n, h, d)
+        k = TorchLinear(d * h, name="Wk")(z).reshape(n, h, d)
+        v = TorchLinear(d * h, name="Wv")(z).reshape(n, h, d)
+
+        if self.has_rng("performer"):
+            key = self.make_rng("performer")
+        else:
+            key = jax.random.PRNGKey(0)
+        pkey, gkey = jax.random.split(key)
+        proj = create_projection_matrix(self.nb_random_features, d, pkey)
+
+        qs = q / math.sqrt(tau)
+        ks = k / math.sqrt(tau)
+        q_prime = softmax_kernel_transformation(qs, True, proj)  # [N, H, M]
+        k_prime = softmax_kernel_transformation(ks, False, proj)
+        k_sum = k_prime.sum(axis=0)
+        den = jnp.einsum(
+            "nhm,hm->nh", q_prime, k_sum, preferred_element_type=jnp.float32
+        )[..., None]
+
+        if self.use_gumbel and train:
+            # K Gumbel perturbations of the keys (nodeformer.py:155-185)
+            K = self.nb_gumbel_sample
+            gumbels = (
+                -jnp.log(-jnp.log(
+                    jax.random.uniform(gkey, (n, h, K), minval=1e-20, maxval=1.0)
+                ))
+            ) / tau
+            k_g = k_prime[:, :, None, :] * jnp.exp(gumbels)[..., None]  # [N,H,K,M]
+            kvs_g = jnp.einsum(
+                "nhkm,nhd->hkmd", k_g, v, preferred_element_type=jnp.float32
+            )
+            num_g = jnp.einsum(
+                "nhm,hkmd->nhkd", q_prime, kvs_g, preferred_element_type=jnp.float32
+            )
+            den_g = jnp.einsum(
+                "nhm,hkm->nhk", q_prime, k_g.sum(axis=0),
+                preferred_element_type=jnp.float32,
+            )[..., None]
+            z_next = (num_g / den_g).mean(axis=2)  # [N, H, D]
+        else:
+            kvs = jnp.einsum(
+                "nhm,nhd->hmd", k_prime, v, preferred_element_type=jnp.float32
+            )
+            z_next = (
+                jnp.einsum(
+                    "nhm,hmd->nhd", q_prime, kvs, preferred_element_type=jnp.float32
+                )
+                / den
+            )
+
+        # relational bias over precomputed adjacency powers
+        # (nodeformer.py:203-222): per-head scalar × DAD aggregation of v
+        if self.rb_order >= 1:
+            init = 0.1 if self.rb_trans == "sigmoid" else 1.0
+            b = self.param(
+                "b", lambda key, shape: jnp.full(shape, init), (self.rb_order, h)
+            )
+            for i in range(self.rb_order):
+                src, dst = adjs[i]
+                d_in = jax.ops.segment_sum(
+                    jnp.ones(src.shape[0]), dst, num_segments=n
+                )
+                w = jax.lax.rsqrt(jnp.maximum(d_in[dst], 1.0)) * jax.lax.rsqrt(
+                    jnp.maximum(d_in[src], 1.0)
+                )
+                msgs = jnp.take(v.reshape(n, -1), src, axis=0) * w[:, None]
+                agg = jax.ops.segment_sum(msgs, dst, num_segments=n).reshape(
+                    n, h, d
+                )
+                b_i = nn.sigmoid(b[i]) if self.rb_trans == "sigmoid" else b[i]
+                z_next = z_next + agg * b_i[None, :, None]
+
+        out = TorchLinear(self.out_channels, name="Wo")(
+            z_next.astype(z.dtype).reshape(n, h * d)
+        )
+
+        if self.use_edge_loss:
+            weight = _edge_attention(q_prime, k_prime, den, adjs[0])
+            src, dst = adjs[0]
+            d_in = jax.ops.segment_sum(jnp.ones(src.shape[0]), dst, num_segments=n)
+            d_norm = 1.0 / jnp.maximum(d_in[dst], 1.0)
+            link_loss = jnp.mean(jnp.log(weight + 1e-20) * d_norm[:, None])
+            return out, link_loss
+        return out, None
+
+
+class NodeFormer(nn.Module):
+    """``nodeformer.py:310-397``.  ``__call__`` returns
+    ``(logits, link_losses)``; trainers subtract ``lamda·mean(link_losses)``
+    (``medium/main.py:153-174`` semantics)."""
+
+    hidden_channels: int
+    out_channels: int
+    num_layers: int = 2
+    num_heads: int = 4
+    dropout: float = 0.0
+    nb_random_features: int = 30
+    use_bn: bool = True
+    use_gumbel: bool = True
+    use_residual: bool = True
+    use_act: bool = False
+    use_jk: bool = False
+    nb_gumbel_sample: int = 10
+    rb_order: int = 2
+    rb_trans: str = "sigmoid"
+    use_edge_loss: bool = True
+    tau: float = 1.0
+
+    @nn.compact
+    def __call__(self, x, graph, *, train: bool = False, node_mask=None,
+                 adjs: Optional[Sequence] = None):
+        if adjs is None:
+            # rb_order=1 fallback straight from the preprocessed graph
+            adjs = [jnp.stack([graph.edge_src, graph.edge_dst])]
+        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        z = TorchLinear(self.hidden_channels, name="fc_in")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="ln_in")(z) if self.use_bn else z
+        z = nn.elu(z)
+        z = dropout(z)
+        layers = [z]
+        link_losses = []
+        for i in range(self.num_layers):
+            z, ll = NodeFormerConv(
+                self.hidden_channels,
+                num_heads=self.num_heads,
+                nb_random_features=self.nb_random_features,
+                use_gumbel=self.use_gumbel,
+                nb_gumbel_sample=self.nb_gumbel_sample,
+                rb_order=min(self.rb_order, len(adjs)),
+                rb_trans=self.rb_trans,
+                use_edge_loss=self.use_edge_loss,
+                name=f"conv_{i}",
+            )(z, adjs, self.tau, train=train)
+            if ll is not None:
+                link_losses.append(ll)
+            if self.use_residual:
+                z = z + layers[i]
+            if self.use_bn:
+                z = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(z)
+            if self.use_act:
+                z = nn.elu(z)
+            z = dropout(z)
+            layers.append(z)
+        if self.use_jk:
+            z = jnp.concatenate(layers, axis=-1)
+        out = TorchLinear(self.out_channels, name="fc_out")(z)
+        return out, link_losses

@@ -66,8 +66,10 @@ class ShardGraph:
     pyg_weight: Optional[jax.Array] = None
 
     def local(self) -> "ShardGraph":
-        """Drop the leading per-device shard axis (inside shard_map)."""
-        sq = lambda a: None if a is None else a.reshape(a.shape[1:])
+        """Drop the leading per-device shard axes (inside shard_map; works
+        for both the 1-D [S, E] and 2-D [dp, sp, E] stacked forms — every
+        data field is 1-D per device)."""
+        sq = lambda a: None if a is None else a.reshape(a.shape[-1])
         return dataclasses.replace(
             self,
             src=sq(self.src),

@@ -63,7 +63,19 @@ def _sample_neighbors(
     csr: CSRGraph, frontier: np.ndarray, fanout: int, rng: np.random.Generator
 ):
     """Vectorized fanout sampling: for each frontier node take min(deg, k)
-    distinct in-neighbors.  Returns (src_global, dst_global) edge arrays."""
+    distinct in-neighbors.  Returns (src_global, dst_global) edge arrays.
+
+    Uses the C++ kernel (csrc/graph_kernels.cpp) when compiled — the role
+    PyG's C++ sampler plays behind NeighborLoader — with this numpy path
+    as the always-available fallback."""
+    from sgformer_tpu.native.api import sample_neighbors_native
+
+    native = sample_neighbors_native(
+        csr.indptr, csr.indices, np.asarray(frontier),
+        fanout, int(rng.integers(2**62)),
+    )
+    if native is not None:
+        return native
     deg = csr.indptr[frontier + 1] - csr.indptr[frontier]
     k = np.minimum(deg, fanout)
     # random offsets: for deg<=fanout take all; else a random slice start of

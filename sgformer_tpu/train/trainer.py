@@ -42,6 +42,10 @@ class TrainConfig:
     runs: int = 1
     seed: int = 123
     display_step: int = -1  # print every k epochs; -1 = silent
+    # NodeFormer edge-regularization weight: models returning
+    # (logits, link_losses) get `loss -= lamda * mean(link_losses)`
+    # (medium/main.py:153-174)
+    lamda: float = 1.0
 
 
 def cross_entropy_loss(logits, labels, idx):
@@ -76,8 +80,10 @@ class Trainer:
         label: np.ndarray,
         config: TrainConfig,
         eval_func: Optional[Callable] = None,
+        model_kwargs: Optional[dict] = None,
     ):
         self.model = model
+        self.model_kwargs = model_kwargs or {}
         self.graph = graph
         self.x = jnp.asarray(x)
         self.config = config
@@ -96,7 +102,9 @@ class Trainer:
     # -- state -------------------------------------------------------------
 
     def init_state(self, rng):
-        variables = self.model.init({"params": rng}, self.x, self.graph, train=False)
+        variables = self.model.init(
+            {"params": rng}, self.x, self.graph, train=False, **self.model_kwargs
+        )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", freeze({}))
         tx = dual_weight_decay_adam(
@@ -115,18 +123,25 @@ class Trainer:
 
         def loss_fn(params, batch_stats, dropout_rng, train_idx):
             variables = {"params": params, "batch_stats": batch_stats}
+            d_rng, p_rng = jax.random.split(dropout_rng)
             out, mutated = self.model.apply(
                 variables,
                 self.x,
                 self.graph,
                 train=True,
-                rngs={"dropout": dropout_rng},
+                rngs={"dropout": d_rng, "performer": p_rng},
                 mutable=["batch_stats"],
+                **self.model_kwargs,
             )
+            link_losses = None
+            if isinstance(out, tuple):
+                out, link_losses = out
             if cfg.loss == "bce":
                 loss = bce_loss(out, self.label_onehot, train_idx)
             else:
                 loss = cross_entropy_loss(out, self.label, train_idx)
+            if link_losses:
+                loss = loss - cfg.lamda * sum(link_losses) / len(link_losses)
             return loss, mutated["batch_stats"]
 
         @jax.jit
@@ -141,7 +156,10 @@ class Trainer:
         @jax.jit
         def eval_step(state):
             variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
-            return self.model.apply(variables, self.x, self.graph, train=False)
+            out = self.model.apply(
+                variables, self.x, self.graph, train=False, **self.model_kwargs
+            )
+            return out[0] if isinstance(out, tuple) else out
 
         return train_step, eval_step
 

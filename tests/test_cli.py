@@ -64,3 +64,15 @@ def test_cli_ablation_attention():
         "--eval_step", "5", "--display_step", "-1", "--rand_split",
     ])
     assert logger.results[0]
+
+
+@pytest.mark.parametrize("method", ["difformer", "graphtrans", "h2gcn",
+                                    "nodeformer", "graphormer"])
+def test_cli_transformer_methods(method):
+    logger = main([
+        "--dataset", "synth-n150-e1000-f12-c3", "--method", method,
+        "--trainer", "full", "--epochs", "3", "--eval_step", "2",
+        "--display_step", "-1", "--rand_split", "--hidden_channels", "16",
+        "--num_heads", "2",
+    ])
+    assert logger.results[0]

@@ -1,0 +1,75 @@
+"""Native (C++/ctypes) kernels: availability, parity with the numpy paths,
+and speed sanity on the chunk builder."""
+
+import numpy as np
+import pytest
+
+from sgformer_tpu.native import native_available
+from sgformer_tpu.native.api import (
+    fill_chunk_plan_native,
+    sample_neighbors_native,
+)
+from sgformer_tpu.sample.neighbor import CSRGraph
+
+
+def test_native_compiles():
+    assert native_available(), "g++ toolchain should be present in this image"
+
+
+def test_chunk_plan_native_matches_python():
+    from sgformer_tpu.kernels import chunks as ch
+
+    rng = np.random.default_rng(0)
+    n, e = 500, 4000
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = np.sort(rng.integers(0, n, e)).astype(np.int64)
+    w = rng.random(e).astype(np.float32)
+    C, W = 128, 64
+    n_windows = -(-n // W)
+    indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
+    np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
+
+    native = fill_chunk_plan_native(indptr, src, dst, w, n_windows * W, W, C)
+    assert native is not None
+    g, ld, wt, wid = native
+
+    # python reference (the loop body of _build_plan)
+    g2, ld2, wt2, wid2 = [], [], [], []
+    for win in range(n_windows):
+        lo, hi = win * W, min((win + 1) * W, n_windows * W)
+        e0, e1 = int(indptr[lo]), int(indptr[hi])
+        k = max(1, -(-(e1 - e0) // C))
+        for c in range(k):
+            a = e0 + c * C
+            b = min(e0 + (c + 1) * C, e1)
+            gg = np.zeros(C, np.int32); dd = np.zeros(C, np.int32)
+            ww = np.zeros(C, np.float32)
+            gg[: b - a] = src[a:b]
+            dd[: b - a] = dst[a:b] - win * W
+            ww[: b - a] = w[a:b]
+            g2.append(gg); ld2.append(dd); wt2.append(ww); wid2.append(win)
+    np.testing.assert_array_equal(g, np.stack(g2))
+    np.testing.assert_array_equal(ld, np.stack(ld2))
+    np.testing.assert_array_equal(wt, np.stack(wt2))
+    np.testing.assert_array_equal(wid, np.asarray(wid2, np.int32))
+
+
+def test_sample_neighbors_native_validity():
+    rng = np.random.default_rng(1)
+    n, e = 200, 3000
+    edge_index = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    csr = CSRGraph.from_edge_index(edge_index, n)
+    frontier = rng.permutation(n)[:50].astype(np.int64)
+    res = sample_neighbors_native(csr.indptr, csr.indices, frontier, 5, seed=7)
+    assert res is not None
+    src, dst = res
+    # every sampled edge must exist; per-node counts <= min(deg, fanout)
+    from collections import Counter
+
+    cnt = Counter(dst.tolist())
+    for v in frontier:
+        deg = int(csr.indptr[v + 1] - csr.indptr[v])
+        assert cnt[int(v)] <= min(deg, 5) if deg > 5 else cnt[int(v)] == deg
+    for s, d in zip(src[:200], dst[:200]):
+        nbrs = csr.indices[csr.indptr[d]: csr.indptr[d + 1]]
+        assert s in nbrs
