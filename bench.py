@@ -46,7 +46,8 @@ def main():
     graph = preprocess_graph(ds.graph["edge_index"], num_nodes, with_chunks=True)
 
     cfg = SGFormerConfig.large(
-        256, 40, trans_num_layers=1, gnn_num_layers=3, graph_weight=0.5
+        256, 40, trans_num_layers=1, gnn_num_layers=3, graph_weight=0.5,
+        compute_dtype="bf16",
     )
     model = SGFormer(cfg)
     tc = TrainConfig(lr=1e-3, trans_weight_decay=0.0, gnn_weight_decay=0.0)

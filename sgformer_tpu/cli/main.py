@@ -40,9 +40,13 @@ BCE_DATASETS = {"deezer-europe", "ogbn-proteins", "twitch-e", "fb100", "yelp-chi
 def get_splits(ds, args) -> list:
     rng = np.random.default_rng(args.seed)
     if args.rand_split_class:
+        from sgformer_tpu.data.splits import class_rand_splits
+
         return [
-            ds.get_idx_split("class", label_num_per_class=args.label_num_per_class,
-                             rng=rng)
+            class_rand_splits(
+                ds.label, args.label_num_per_class,
+                valid_num=args.valid_num, test_num=args.test_num, rng=rng,
+            )
             for _ in range(args.runs)
         ]
     if args.rand_split or ds.load_fixed_splits is None:
@@ -61,6 +65,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     ds = load_dataset(args.data_dir, args.dataset, args.sub_dataset)
+    if args.dataset in ("cora", "citeseer", "pubmed") and not args.no_feat_norm:
+        from sgformer_tpu.data.transforms import normalize_features
+
+        ds.graph["node_feat"] = normalize_features(ds.graph["node_feat"])
     n = ds.num_nodes
     c = ds.num_classes
     x = ds.graph["node_feat"]
@@ -98,6 +106,8 @@ def main(argv=None):
         seed=args.seed,
         display_step=args.display_step,
     )
+    if args.trainer in ("full", "sharded"):
+        common["lamda"] = args.lamda
     needs_pyg = args.method in (
         "gcn", "gcnjk", "graphtrans", "graphgps"
     ) or (args.method in ("sgformer", "ours") and args.backbone == "gcn")

@@ -33,8 +33,13 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--rand_split", action="store_true")
     parser.add_argument("--rand_split_class", action="store_true")
     parser.add_argument("--label_num_per_class", type=int, default=20)
+    parser.add_argument("--valid_num", type=int, default=500)
+    parser.add_argument("--test_num", type=int, default=1000)
     parser.add_argument("--train_prop", type=float, default=0.5)
     parser.add_argument("--valid_prop", type=float, default=0.25)
+    parser.add_argument("--no_feat_norm", action="store_true")
+    parser.add_argument("--lamda", type=float, default=1.0,
+                        help="NodeFormer edge-regularization weight")
     # optimization
     parser.add_argument("--lr", type=float, default=0.01)
     parser.add_argument("--weight_decay", type=float, default=5e-3)

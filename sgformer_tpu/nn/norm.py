@@ -68,5 +68,7 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1.0 - self.momentum) * unbiased
                 )
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return y * scale.astype(y.dtype) + bias.astype(y.dtype)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        # stats/affine in f32, output back in the compute dtype
+        return y.astype(x.dtype)

@@ -66,6 +66,10 @@ class SGFormerConfig:
     aggregate: str = "add"  # 'add' | 'cat'
     # sharding: mesh axis the node dimension is sharded over (None = single)
     axis_name: Optional[str] = None
+    # activation dtype: 'f32' (default, exact parity) or 'bf16' (mixed
+    # precision — params/norm-stats/logits stay f32, matmuls and the SpMM
+    # message stream run at half the HBM traffic)
+    compute_dtype: str = "f32"
 
     @classmethod
     def medium(cls, hidden, out, **kw):
@@ -139,6 +143,8 @@ class SGFormer(nn.Module):
 
     def __call__(self, x, graph: Graph, *, train: bool = False, node_mask=None):
         cfg = self.config
+        if cfg.compute_dtype == "bf16":
+            x = x.astype(jnp.bfloat16)
         x1 = self.trans_conv(x, train=train, node_mask=node_mask)
 
         if cfg.gnn == "graphconv":
@@ -157,7 +163,7 @@ class SGFormer(nn.Module):
                 raise ValueError(f"Invalid aggregate type: {cfg.aggregate}")
         else:
             out = x1
-        return self.fc(out)
+        return self.fc(out).astype(jnp.float32)
 
     def get_attentions(self, x):
         """Stacked per-layer [N, N] attention maps (``large/ours.py:278-281``);

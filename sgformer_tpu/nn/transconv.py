@@ -119,9 +119,10 @@ class TransConv(nn.Module):
     ):
         dropout = nn.Dropout(self.dropout, deterministic=not train)
 
+        dt = x.dtype  # keep the compute dtype through f32-param LayerNorms
         x = TorchLinear(self.hidden_channels, name="fc_in")(x)
         if self.use_bn:
-            x = nn.LayerNorm(epsilon=1e-5, name="ln_in")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="ln_in")(x).astype(dt)
         x = nn.relu(x)
         x = dropout(x)
 
@@ -147,7 +148,7 @@ class TransConv(nn.Module):
                 else:
                     x = (x + prev) / 2.0
             if self.use_bn:
-                x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x)
+                x = nn.LayerNorm(epsilon=1e-5, name=f"ln_{i}")(x).astype(dt)
             if self.use_act:
                 x = nn.relu(x)
             x = dropout(x)
