@@ -55,8 +55,13 @@ def get_splits(ds, args) -> list:
                              valid_prop=args.valid_prop, rng=rng)
             for _ in range(args.runs)
         ]
-    splits = ds.load_fixed_splits()
-    return splits if isinstance(splits, list) else [splits]
+    # fixed splits: rotate through the committed masks per run (the
+    # geom-gcn/heterophilous 10-mask protocol, large/main.py:107-112)
+    try:
+        return [ds.load_fixed_splits(i) for i in range(args.runs)]
+    except TypeError:
+        splits = ds.load_fixed_splits()
+        return splits if isinstance(splits, list) else [splits]
 
 
 def main(argv=None):

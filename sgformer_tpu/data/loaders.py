@@ -258,6 +258,150 @@ def load_mat_graph(path: str, name: str) -> NCDataset:
     return ds
 
 
+def load_fb100(data_dir: str, filename: str = "Penn94") -> NCDataset:
+    """fb100: gender labels, one-hot features with vocabularies pooled over
+    five schools (``large/dataset.py:201-240``).  Missing schools fall back
+    to the target school's own vocabularies."""
+    import scipy.io as sio
+
+    root = Path(data_dir) / "facebook100"
+
+    def _feats(mat):
+        meta = np.asarray(mat["local_info"]).astype(np.int64)
+        return np.hstack([meta[:, 0:1], meta[:, 2:]])
+
+    target = sio.loadmat(str(root / f"{filename}.mat"))
+    pool = []
+    for f in ("Penn94", "Amherst41", "Cornell5", "Johns Hopkins55", "Reed98"):
+        p = root / f"{f}.mat"
+        if p.exists():
+            pool.append(_feats(sio.loadmat(str(p))))
+    pool = np.vstack(pool) if pool else _feats(target)
+
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(target["A"]).tocoo()
+    meta = np.asarray(target["local_info"]).astype(np.int64)
+    label = meta[:, 1] - 1  # gender; -1 = unlabeled
+    label = np.where(label > 0, 1, 0)
+    fv = _feats(target)
+    cols = []
+    for c in range(fv.shape[1]):
+        classes = np.unique(pool[:, c])
+        onehot = (fv[:, c:c + 1] == classes[None, :]).astype(np.float32)
+        cols.append(onehot)
+    features = np.hstack(cols)
+
+    ds = NCDataset(f"fb100-{filename}")
+    ds.graph = {
+        "edge_index": np.stack([a.row, a.col]).astype(np.int64),
+        "node_feat": features,
+        "edge_feat": None,
+        "num_nodes": meta.shape[0],
+    }
+    ds.label = label.reshape(-1, 1).astype(np.int64)
+    return ds
+
+
+def load_twitch(data_dir: str, lang: str = "DE") -> NCDataset:
+    """twitch-e: mature-content labels from musae csv/json raw files
+    (``large/dataset.py:140-175``, ``large/load_data.py:21-60``)."""
+    import csv
+    import json
+
+    assert lang in ("DE", "ENGB", "ES", "FR", "PTBR", "RU", "TW")
+    root = Path(data_dir) / "twitch" / lang
+    label, node_ids, uniq = [], [], set()
+    with open(root / f"musae_{lang}_target.csv") as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            nid = int(row[5])
+            if nid not in uniq:  # FR has duplicate rows
+                uniq.add(nid)
+                label.append(int(row[2] == "True"))
+                node_ids.append(nid)
+    src, dst = [], []
+    with open(root / f"musae_{lang}_edges.csv") as f:
+        reader = csv.reader(f)
+        next(reader)
+        for row in reader:
+            src.append(int(row[0]))
+            dst.append(int(row[1]))
+    with open(root / f"musae_{lang}_features.json") as f:
+        feat_json = json.load(f)
+    n = len(label)
+    dim = 3170  # musae feature vocabulary size (reference convention)
+    features = np.zeros((n, dim), dtype=np.float32)
+    for k, vals in feat_json.items():
+        idx = [v for v in vals if v < dim]
+        features[int(k), idx] = 1.0
+    ds = NCDataset("twitch-e")
+    ds.graph = {
+        "edge_index": np.stack(
+            [np.asarray(src), np.asarray(dst)]
+        ).astype(np.int64),
+        "node_feat": features,
+        "edge_feat": None,
+        "num_nodes": n,
+    }
+    ds.label = np.asarray(label).reshape(-1, 1).astype(np.int64)
+    return ds
+
+
+def load_geom_gcn(data_dir: str, name: str) -> NCDataset:
+    """geom-gcn raw txt graphs (``medium/dataset.py:153-213``): film stores
+    sparse one-hot feature indices (932-dim), others dense vectors."""
+    root = Path(data_dir) / "geom-gcn" / name
+    feats, labels = {}, {}
+    with open(root / "out1_node_feature_label.txt") as f:
+        f.readline()
+        for line in f:
+            nid, feat, lab = line.rstrip().split("\t")
+            if name == "film":
+                blank = np.zeros(932, dtype=np.float32)
+                blank[np.asarray(feat.split(","), dtype=np.int64)] = 1.0
+                feats[int(nid)] = blank
+            else:
+                feats[int(nid)] = np.asarray(feat.split(","), dtype=np.float32)
+            labels[int(nid)] = int(lab)
+    src, dst = [], []
+    with open(root / "out1_graph_edges.txt") as f:
+        f.readline()
+        for line in f:
+            a, b = line.rstrip().split("\t")
+            src.append(int(a))
+            dst.append(int(b))
+    n = max(feats) + 1
+    x = np.stack([feats[i] for i in range(n)])
+    y = np.asarray([labels[i] for i in range(n)], dtype=np.int64)
+    ds = NCDataset(name)
+    ds.graph = {
+        "edge_index": np.stack(
+            [np.asarray(src), np.asarray(dst)]
+        ).astype(np.int64),
+        "node_feat": x,
+        "edge_feat": None,
+        "num_nodes": n,
+    }
+    ds.label = y.reshape(-1, 1)
+    # geom-gcn ships 10 fixed split npz masks alongside
+    split_files = sorted((Path(data_dir) / "geom-gcn" / name).glob(
+        f"{name}_split_0.6_0.2_*.npz"
+    ))
+    if split_files:
+
+        def fixed(i=0):
+            z = np.load(split_files[i % len(split_files)])
+            return masks_to_idx({
+                "train": z["train_mask"], "valid": z["val_mask"],
+                "test": z["test_mask"],
+            })
+
+        ds.load_fixed_splits = fixed
+    return ds
+
+
 # ---------------------------------------------------------------------------
 # Registry / entry point
 # ---------------------------------------------------------------------------

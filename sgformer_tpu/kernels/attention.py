@@ -1,0 +1,254 @@
+"""Fused Pallas linear attention — the SGFormer O(N) kernel
+(spec: ``/root/reference/medium/ours.py:14-46``) as two fused passes:
+
+1. **reduce**: one sweep over node blocks accumulating the cross-node
+   sums — kᵀv [M, D], Σk [M], ‖q‖², ‖k‖² — in VMEM (output blocks
+   revisited every grid step, so the partials never round-trip HBM).
+2. **apply**: one sweep computing ``out = (inv·qK + n·v) / (inv·q·Σk + n)``
+   per node block with the matmul, scale, bias and divide fused into a
+   single VMEM-resident epilogue.
+
+Between the passes the reduced quantities are plain arrays, so the
+node-sharded form inserts its single ``psum`` there — the same collective
+structure as the XLA path (SURVEY.md §5).  Memory traffic is the
+theoretical minimum: q/k/v read twice, out written once, ~2 KB of
+reductions in between (the XLA path materializes several [N, D]
+intermediates in the epilogue chain).
+
+Backward is hand-derived einsums (cheap, MXU-friendly) verified against
+autodiff of the jnp reference in ``tests/test_kernels.py``.  Multi-head
+inputs loop the single-head kernel over heads (the reference's headline
+configs all use H=1)."""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _reduce_kernel(q_ref, k_ref, v_ref, kvs_ref, ksum_ref, scal_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        kvs_ref[:] = jnp.zeros_like(kvs_ref)
+        ksum_ref[:] = jnp.zeros_like(ksum_ref)
+        scal_ref[:] = jnp.zeros_like(scal_ref)
+
+    q = q_ref[:]
+    k = k_ref[:]
+    v = v_ref[:]
+    kvs_ref[:] += jax.lax.dot_general(
+        k, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ksum_ref[:] += jnp.sum(k, axis=0, keepdims=True).astype(jnp.float32)
+    qsq = jnp.sum(jnp.square(q.astype(jnp.float32)))
+    ksq = jnp.sum(jnp.square(k.astype(jnp.float32)))
+    pad = jnp.zeros((1, 126), dtype=jnp.float32)
+    scal_ref[:] += jnp.concatenate(
+        [qsq.reshape(1, 1), ksq.reshape(1, 1), pad], axis=1
+    )
+
+
+def _apply_kernel(n_ref, q_ref, v_ref, kvs_ref, ksum_ref, scal_ref, out_ref):
+    q = q_ref[:]
+    v = v_ref[:].astype(jnp.float32)
+    inv = jax.lax.rsqrt(scal_ref[0, 0]) * jax.lax.rsqrt(scal_ref[0, 1])
+    n = n_ref[0, 0]
+    # MXU needs matching operand dtypes; accumulate in f32 regardless
+    a = jax.lax.dot_general(
+        q, kvs_ref[:].astype(q.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # matvec as a VPU multiply-reduce (a [B,M]x[1,M] dot miscompiles for
+    # bf16 operands in mosaic)
+    b = jnp.sum(
+        q.astype(jnp.float32) * ksum_ref[:].astype(jnp.float32),
+        axis=1, keepdims=True,
+    )  # [B, 1]
+    num = inv * a + n * v
+    den = inv * b + n
+    out_ref[:] = (num / den).astype(out_ref.dtype)
+
+
+def _pad_rows(x, block):
+    n = x.shape[0]
+    pad = (-n) % block
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x
+
+
+def _reduce(q, k, v, block, interpret):
+    """Local partial sums (kvs [M,D], ksum [1,M], [qsq ksq])."""
+    M, D = q.shape[1], v.shape[1]
+    qp, kp, vp = _pad_rows(q, block), _pad_rows(k, block), _pad_rows(v, block)
+    grid = qp.shape[0] // block
+    return pl.pallas_call(
+        _reduce_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp)
+
+
+def _apply(q, v, kvs, ksum, scal, n_total, block, interpret):
+    N, M = q.shape
+    D = v.shape[1]
+    qp, vp = _pad_rows(q, block), _pad_rows(v, block)
+    grid = qp.shape[0] // block
+    n_arr = jnp.asarray(n_total, jnp.float32).reshape(1, 1)
+    out = pl.pallas_call(
+        _apply_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block, D), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((qp.shape[0], D), q.dtype),
+        interpret=interpret,
+    )(n_arr, qp, vp, kvs, ksum, scal)
+    return out[:N]
+
+
+def _fwd_single_head(q, k, v, n_total, axis_name, block, interpret):
+    kvs, ksum, scal = _reduce(q, k, v, block, interpret)
+    if axis_name is not None:
+        kvs, ksum, scal = jax.lax.psum((kvs, ksum, scal), axis_name)
+    return _apply(q, v, kvs, ksum, scal, n_total, block, interpret), (
+        kvs, ksum, scal,
+    )
+
+
+def _bwd_single_head(q, k, v, n_total, axis_name, res, g):
+    """Hand-derived VJP; all terms are einsum-shaped, and the cross-node
+    reductions (P, ds, dinv) get one fused psum under sharding."""
+    kvs, ksum, scal = res
+    qsq, ksq = scal[0, 0], scal[0, 1]
+    qn2, kn2 = qsq, ksq
+    inv = jax.lax.rsqrt(qsq) * jax.lax.rsqrt(ksq)
+    s = ksum[0]  # [M]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    gf = g.astype(jnp.float32)
+
+    b = qf @ s  # [N]
+    den = inv * b + n_total
+    a = qf @ kvs  # [N, D]
+    num = inv * a + n_total * vf
+    gd = gf / den[:, None]
+    gden = -jnp.sum(gf * num, axis=1) / (den * den)  # [N]
+
+    # local cross-node partials
+    P = qf.T @ gd  # [M, D]   (Σ_i q_i ⊗ g_i/den_i)
+    ds_part = qf.T @ gden  # [M]
+    dinv_part = jnp.sum(gd * a) + jnp.sum(gden * b)
+    if axis_name is not None:
+        P, ds_part, dinv_part = jax.lax.psum(
+            (P, ds_part, dinv_part), axis_name
+        )
+
+    dv = n_total * gd + inv * (kf @ P)
+    dq = inv * (gd @ kvs.T) + inv * (gden[:, None] * s[None, :])
+    dk = inv * (vf @ P.T) + inv * ds_part[None, :]
+    # through the global norms: inv = (qsq·ksq)^-1/2
+    dq = dq + dinv_part * (-inv / qn2) * qf
+    dk = dk + dinv_part * (-inv / kn2) * kf
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def fused_linear_attention(
+    qs: jax.Array,
+    ks: jax.Array,
+    vs: jax.Array,
+    *,
+    node_mask: Optional[jax.Array] = None,
+    axis_name: Optional[str] = None,
+    block: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Drop-in for :func:`sgformer_tpu.ops.attention.linear_attention`
+    (no ``output_attn`` — use the XLA path to materialize maps).
+    qs/ks/vs: [N, H, M]; returns [N, H, D]."""
+    if block is None:
+        # 3 double-buffered [block, M] operands must fit VMEM (~16 MB)
+        block = 4096 if qs.dtype == jnp.bfloat16 else 2048
+    if node_mask is not None:
+        m = node_mask.astype(qs.dtype)[:, None, None]
+        qs, ks, vs = qs * m, ks * m, vs * m
+        n_local = jnp.sum(node_mask.astype(jnp.float32))
+    else:
+        n_local = jnp.asarray(qs.shape[0], jnp.float32)
+    if axis_name is not None:
+        n_total = jax.lax.psum(n_local, axis_name)
+    else:
+        n_total = n_local
+
+    H = qs.shape[1]
+
+    @jax.custom_vjp
+    def run(qs, ks, vs):
+        outs = []
+        for h in range(H):
+            out, _ = _fwd_single_head(
+                qs[:, h], ks[:, h], vs[:, h], n_total, axis_name, block,
+                interpret,
+            )
+            outs.append(out)
+        return jnp.stack(outs, axis=1)
+
+    def run_fwd(qs, ks, vs):
+        outs, residuals = [], []
+        for h in range(H):
+            out, res = _fwd_single_head(
+                qs[:, h], ks[:, h], vs[:, h], n_total, axis_name, block,
+                interpret,
+            )
+            outs.append(out)
+            residuals.append(res)
+        return jnp.stack(outs, axis=1), (qs, ks, vs, residuals)
+
+    def run_bwd(saved, g):
+        qs, ks, vs, residuals = saved
+        dqs, dks, dvs = [], [], []
+        for h in range(H):
+            dq, dk, dv = _bwd_single_head(
+                qs[:, h], ks[:, h], vs[:, h], n_total, axis_name,
+                residuals[h], g[:, h],
+            )
+            dqs.append(dq)
+            dks.append(dk)
+            dvs.append(dv)
+        return (
+            jnp.stack(dqs, axis=1),
+            jnp.stack(dks, axis=1),
+            jnp.stack(dvs, axis=1),
+        )
+
+    run.defvjp(run_fwd, run_bwd)
+    return run(qs, ks, vs)

@@ -51,6 +51,8 @@ class SGFormerConfig:
     # attention ablation: 'simple' | 'softmax' | 'gat' | 'performer'
     # (medium/ablation/parse.py:102-118)
     attention_kernel: str = "simple"
+    # 'xla' einsum path | 'pallas' fused two-pass kernel
+    attention_impl: str = "xla"
     alpha: float = 0.5
     # gnn branch
     gnn: str = "graphconv"  # 'graphconv' | 'gcn' | 'none'
@@ -115,6 +117,7 @@ class SGFormer(nn.Module):
             residual_mode=cfg.trans_residual_mode,
             axis_name=cfg.axis_name,
             kernel=cfg.attention_kernel,
+            impl=cfg.attention_impl,
         )
         if cfg.gnn == "graphconv":
             self.graph_conv = GraphConv(

@@ -36,6 +36,7 @@ class TransConvLayer(nn.Module):
     use_weight: bool = True
     axis_name: Optional[str] = None
     kernel: str = "simple"
+    impl: str = "xla"  # 'xla' | 'pallas' (fused two-pass kernel)
     performer_features: Optional[int] = None
     performer_seed: int = 0
 
@@ -54,6 +55,13 @@ class TransConvLayer(nn.Module):
             vs = source_input.reshape(-1, 1, d)
 
         if self.kernel == "simple":
+            if self.impl == "pallas" and not output_attn:
+                from sgformer_tpu.kernels.attention import fused_linear_attention
+
+                out = fused_linear_attention(
+                    qs, ks, vs, node_mask=node_mask, axis_name=self.axis_name
+                )
+                return out.mean(axis=1)
             if output_attn:
                 out, attn = linear_attention(
                     qs, ks, vs, output_attn=True, axis_name=self.axis_name,
@@ -112,6 +120,7 @@ class TransConv(nn.Module):
     residual_mode: str = "alpha"
     axis_name: Optional[str] = None
     kernel: str = "simple"
+    impl: str = "xla"
 
     @nn.compact
     def __call__(
@@ -135,6 +144,7 @@ class TransConv(nn.Module):
                 use_weight=self.use_weight,
                 axis_name=self.axis_name,
                 kernel=self.kernel,
+                impl=self.impl,
                 name=f"conv_{i}",
             )
             if output_attn:

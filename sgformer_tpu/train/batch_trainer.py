@@ -107,6 +107,7 @@ def build_subgraph_batch(
 class BatchTrainConfig(TrainConfig):
     batch_size: int = 10000
     eval_mode: str = "full"  # 'full' | 'batch' (streaming, papers100M path)
+    eval_device: str = "default"  # 'default' | 'cpu' (evaluate_large offload)
     ladder_base: int = 65536
 
 
@@ -189,7 +190,6 @@ class BatchTrainer:
             "full-graph eval needs full_graph=preprocess_graph(...)"
         )
 
-        @jax.jit
         def eval_step(state, x, graph):
             return self.model.apply(
                 {"params": state["params"], "batch_stats": state["batch_stats"]},
@@ -198,7 +198,18 @@ class BatchTrainer:
                 train=False,
             )
 
-        return np.asarray(eval_step(state, jnp.asarray(self.x), self.full_graph))
+        if self.config.eval_device == "cpu":
+            # evaluate_large semantics (large/eval.py:36-65): run the
+            # full-graph forward on the host when it cannot fit in HBM
+            cpu = jax.devices("cpu")[0]
+            with jax.default_device(cpu):
+                state_c = jax.device_put(state, cpu)
+                x_c = jax.device_put(jnp.asarray(self.x), cpu)
+                g_c = jax.device_put(self.full_graph, cpu)
+                return np.asarray(jax.jit(eval_step)(state_c, x_c, g_c))
+        return np.asarray(
+            jax.jit(eval_step)(state, jnp.asarray(self.x), self.full_graph)
+        )
 
     def _eval_streaming(self, state, split_idx, rng) -> dict:
         """``evaluate_batch`` (large/eval.py:67-118): random batches per
