@@ -59,15 +59,30 @@ class ChunkPlan:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["fwd", "bwd"],
-    meta_fields=["num_nodes"],
+    meta_fields=["num_nodes", "n_out_fwd", "n_out_bwd"],
 )
 @dataclasses.dataclass(frozen=True)
 class ChunkedSpMM:
-    """Forward (A) + transpose (Aᵀ) chunk plans for one sparse matrix."""
+    """Forward (A) + transpose (Aᵀ) chunk plans for one sparse matrix.
+
+    For a square A both passes produce ``num_nodes`` rows; the node-sharded
+    form is rectangular (forward: gather global rows → local rows;
+    transpose: gather local rows → global rows), expressed via
+    ``n_out_fwd`` / ``n_out_bwd`` overrides."""
 
     fwd: ChunkPlan
     bwd: ChunkPlan
     num_nodes: int
+    n_out_fwd: Optional[int] = None
+    n_out_bwd: Optional[int] = None
+
+    @property
+    def rows_fwd(self) -> int:
+        return self.n_out_fwd if self.n_out_fwd is not None else self.num_nodes
+
+    @property
+    def rows_bwd(self) -> int:
+        return self.n_out_bwd if self.n_out_bwd is not None else self.num_nodes
 
 
 def _build_plan(

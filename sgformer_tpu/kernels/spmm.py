@@ -21,8 +21,6 @@ edge weights are graph constants, so no weight cotangent is needed.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -127,7 +125,7 @@ def chunked_spmm(
     @jax.custom_vjp
     def f(x):
         return _apply_plan(x, plan.fwd, compute_dtype, interpret)[
-            : plan.num_nodes
+            : plan.rows_fwd
         ].astype(out_dtype)
 
     def f_fwd(x):
@@ -135,7 +133,7 @@ def chunked_spmm(
 
     def f_bwd(_, g):
         dx = _apply_plan(g, plan.bwd, compute_dtype, interpret)[
-            : plan.num_nodes
+            : plan.rows_bwd
         ].astype(out_dtype)
         return (dx,)
 

@@ -24,6 +24,7 @@ from sgformer_tpu.nn.baselines import (  # noqa: F401
     MLP,
     SGC,
     SGC2,
+    SGCMem,
     SIGN,
     MixHop,
     MultiLP,

@@ -91,6 +91,13 @@ class SGC(nn.Module):
         return TorchLinear(self.out_channels, name="lin")(x)
 
 
+class SGCMem(SGC):
+    """large/gnns.py:82-125 — SGC computed hop-by-hop to bound memory.
+    This implementation already iterates ``graph.propagate`` per hop (A^K
+    is never materialized), so the memory-lean variant IS the base class;
+    the name exists for reference parity."""
+
+
 class SGC2(nn.Module):
     """large/gnns.py:127-175: K-hop propagation then an MLP."""
 

@@ -10,8 +10,6 @@ normalization as the shared ``Graph.propagate``).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax.numpy as jnp
 from flax import linen as nn
 

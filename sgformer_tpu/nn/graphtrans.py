@@ -5,7 +5,6 @@ encoder applies a final LayerNorm."""
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from sgformer_tpu.nn.gcn import GCN

@@ -31,7 +31,6 @@ from sgformer_tpu.ops.attention_variants import (
 
 def build_nodeformer_adjs(edge_index: np.ndarray, num_nodes: int, rb_order: int = 2):
     """[A+I, (A+I)², ...] edge lists, host-side (``nodeformer.py:348-359``)."""
-    from sgformer_tpu.data.transforms import adj_mul
     from sgformer_tpu.graph import add_self_loops, remove_self_loops
 
     adj = add_self_loops(remove_self_loops(np.asarray(edge_index)), num_nodes)

@@ -19,8 +19,7 @@ indices.  One compiled step serves every batch of every epoch.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -33,8 +33,14 @@ from sgformer_tpu.graph import Graph
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["src", "dst", "weight", "pyg_src", "pyg_dst", "pyg_weight"],
-    meta_fields=["num_nodes", "total_nodes", "num_shards", "axis_name"],
+    data_fields=[
+        "src", "dst", "weight", "pyg_src", "pyg_dst", "pyg_weight",
+        "chunks_fwd", "chunks_bwd",
+    ],
+    meta_fields=[
+        "num_nodes", "total_nodes", "num_shards", "axis_name",
+        "chunk_edges", "window_rows", "chunk_dtype", "chunk_interpret",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class ShardGraph:
@@ -64,36 +70,81 @@ class ShardGraph:
     pyg_src: Optional[jax.Array] = None
     pyg_dst: Optional[jax.Array] = None
     pyg_weight: Optional[jax.Array] = None
+    # Per-shard MXU chunk plans (see sgformer_tpu/kernels): fwd gathers
+    # global rows into local windows; bwd is the transpose (local rows →
+    # global windows).  Tuples of (gather, local_dst, weight, window_id).
+    chunks_fwd: Optional[tuple] = None
+    chunks_bwd: Optional[tuple] = None
+    chunk_edges: int = 0
+    window_rows: int = 0
+    chunk_dtype: str = "bf16"
+    chunk_interpret: bool = False
 
     def local(self) -> "ShardGraph":
         """Drop the leading per-device shard axes (inside shard_map; works
-        for both the 1-D [S, E] and 2-D [dp, sp, E] stacked forms — every
-        data field is 1-D per device)."""
-        sq = lambda a: None if a is None else a.reshape(a.shape[-1])
+        for both the 1-D [S, ...] and 2-D [dp, sp, ...] stacked forms)."""
+        sq = lambda a, nd: None if a is None else a.reshape(a.shape[a.ndim - nd:])
+        sqt = lambda t, nds: None if t is None else tuple(
+            sq(a, nd) for a, nd in zip(t, nds)
+        )
         return dataclasses.replace(
             self,
-            src=sq(self.src),
-            dst=sq(self.dst),
-            weight=sq(self.weight),
-            pyg_src=sq(self.pyg_src),
-            pyg_dst=sq(self.pyg_dst),
-            pyg_weight=sq(self.pyg_weight),
+            src=sq(self.src, 1),
+            dst=sq(self.dst, 1),
+            weight=sq(self.weight, 1),
+            pyg_src=sq(self.pyg_src, 1),
+            pyg_dst=sq(self.pyg_dst, 1),
+            pyg_weight=sq(self.pyg_weight, 1),
+            chunks_fwd=sqt(self.chunks_fwd, (2, 2, 2, 1)),
+            chunks_bwd=sqt(self.chunks_bwd, (2, 2, 2, 1)),
         )
 
     def propagate(self, x: jax.Array, kind: str = "gcn") -> jax.Array:
         """Sharded A_norm @ x: all_gather the [B, F] activation shards into
         the full [total_nodes, F] matrix over ICI, then aggregate this
-        shard's (dst-sorted) edges with a local segment_sum.  Matches
+        shard's (dst-sorted) edges — with the Pallas MXU chunk kernel when
+        plans were built, else gather+segment_sum.  Matches
         :meth:`sgformer_tpu.graph.Graph.propagate` exactly on real rows."""
+        x_full = jax.lax.all_gather(x, self.axis_name, axis=0, tiled=True)
+        if kind == "gcn" and self.chunks_fwd is not None:
+            return self._chunked_propagate(x_full)
         if kind == "gcn":
             src, dst, w = self.src, self.dst, self.weight
         else:
             assert self.pyg_src is not None, "pyg edges not partitioned"
             src, dst, w = self.pyg_src, self.pyg_dst, self.pyg_weight
-        x_full = jax.lax.all_gather(x, self.axis_name, axis=0, tiled=True)
         msgs = jnp.take(x_full, src, axis=0) * w[:, None].astype(x.dtype)
         return jax.ops.segment_sum(
             msgs, dst, num_segments=self.num_nodes, indices_are_sorted=True
+        )
+
+    def _chunked_propagate(self, x_full: jax.Array) -> jax.Array:
+        import jax.numpy as _jnp
+
+        from sgformer_tpu.kernels.chunks import ChunkedSpMM, ChunkPlan
+        from sgformer_tpu.kernels.spmm import chunked_spmm
+
+        C, W = self.chunk_edges, self.window_rows
+
+        def plan(t, rows_out):
+            g, d, w, wid = t
+            return ChunkPlan(
+                gather_idx=g, local_dst=d, weight=w, window_id=wid,
+                chunk_edges=C, window_rows=W,
+                num_rows_out=-(-rows_out // W) * W,
+                num_chunks=g.shape[0],
+            )
+
+        sp = ChunkedSpMM(
+            fwd=plan(self.chunks_fwd, self.num_nodes),
+            bwd=plan(self.chunks_bwd, self.total_nodes),
+            num_nodes=self.num_nodes,
+            n_out_fwd=self.num_nodes,
+            n_out_bwd=self.total_nodes,
+        )
+        dtype = _jnp.float32 if self.chunk_dtype == "f32" else _jnp.bfloat16
+        return chunked_spmm(
+            x_full, sp, compute_dtype=dtype, interpret=self.chunk_interpret
         )
 
 
@@ -122,12 +173,83 @@ def _shard_edges(src, dst, weight, indptr, num_shards, block, num_nodes):
     return out_src, out_dst, out_w
 
 
+def _shard_chunk_plans(
+    src, dst, w, indptr, num_shards, block, total, num_nodes,
+    chunk_edges, window_rows,
+):
+    """Per-shard MXU chunk plans: fwd (global gather → local windows) and
+    transpose (local gather → global windows), padded to one stacked shape.
+    Padding chunks point at each plan's last window with weight 0."""
+    from sgformer_tpu.kernels.chunks import _build_plan
+
+    fwd_plans, bwd_plans = [], []
+    for s in range(num_shards):
+        lo = min(s * block, num_nodes)
+        hi = min((s + 1) * block, num_nodes)
+        e0, e1 = int(indptr[lo]), int(indptr[hi])
+        src_s = src[e0:e1]
+        dstl_s = dst[e0:e1] - lo
+        w_s = w[e0:e1]
+        fwd_plans.append(
+            _build_plan(src_s, dstl_s, w_s, block, chunk_edges, window_rows)
+        )
+        order = np.argsort(src_s, kind="stable")
+        bwd_plans.append(
+            _build_plan(
+                dstl_s[order], src_s[order], w_s[order], total,
+                chunk_edges, window_rows,
+            )
+        )
+
+    def stack(plans):
+        nc = max(p.num_chunks for p in plans)
+        gs, ds, ws, wids = [], [], [], []
+        for p in plans:
+            pad = nc - p.num_chunks
+            g = np.asarray(p.gather_idx)
+            d = np.asarray(p.local_dst)
+            wt = np.asarray(p.weight)
+            wid = np.asarray(p.window_id)
+            if pad:
+                last_w = p.num_rows_out // p.window_rows - 1
+                g = np.concatenate([g, np.zeros((pad, p.chunk_edges), g.dtype)])
+                d = np.concatenate([d, np.zeros((pad, p.chunk_edges), d.dtype)])
+                wt = np.concatenate(
+                    [wt, np.zeros((pad, p.chunk_edges), wt.dtype)]
+                )
+                wid = np.concatenate(
+                    [wid, np.full(pad, last_w, dtype=wid.dtype)]
+                )
+            gs.append(g)
+            ds.append(d)
+            ws.append(wt)
+            wids.append(wid)
+        return (
+            jnp.asarray(np.stack(gs)),
+            jnp.asarray(np.stack(ds)),
+            jnp.asarray(np.stack(ws)),
+            jnp.asarray(np.stack(wids)),
+        )
+
+    return stack(fwd_plans), stack(bwd_plans)
+
+
 def partition_graph(
-    graph: Graph, num_shards: int, axis_name: str = "sp"
+    graph: Graph,
+    num_shards: int,
+    axis_name: str = "sp",
+    *,
+    with_chunks: bool = False,
+    chunk_edges: int = 512,
+    window_rows: int = 128,
+    chunk_dtype: str = "bf16",
+    chunk_interpret: bool = False,
 ) -> ShardGraph:
     """Partition a preprocessed :class:`Graph` into ``num_shards`` node
     blocks (stacked [S, ...] arrays ready for shard_map with spec
-    ``P(axis_name)``)."""
+    ``P(axis_name)``).  ``with_chunks`` additionally builds per-shard MXU
+    SpMM chunk plans (fwd + transpose) so the sharded aggregation runs on
+    the Pallas kernel."""
     n = graph.num_nodes
     block = -(-n // num_shards)  # ceil
     total = block * num_shards
@@ -137,6 +259,13 @@ def partition_graph(
     w = np.asarray(graph.gcn_weight)
     indptr = np.asarray(graph.indptr)
     s_src, s_dst, s_w = _shard_edges(src, dst, w, indptr, num_shards, block, n)
+
+    chunks_fwd = chunks_bwd = None
+    if with_chunks:
+        chunks_fwd, chunks_bwd = _shard_chunk_plans(
+            src, dst, w, indptr, num_shards, block, total, n,
+            chunk_edges, window_rows,
+        )
 
     pyg = (None, None, None)
     if graph.pyg_src is not None:
@@ -159,6 +288,12 @@ def partition_graph(
         pyg_src=None if pyg[0] is None else jnp.asarray(pyg[0]),
         pyg_dst=None if pyg[1] is None else jnp.asarray(pyg[1]),
         pyg_weight=None if pyg[2] is None else jnp.asarray(pyg[2]),
+        chunks_fwd=chunks_fwd,
+        chunks_bwd=chunks_bwd,
+        chunk_edges=chunk_edges if with_chunks else 0,
+        window_rows=window_rows if with_chunks else 0,
+        chunk_dtype=chunk_dtype,
+        chunk_interpret=chunk_interpret,
     )
 
 

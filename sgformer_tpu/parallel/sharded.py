@@ -16,8 +16,6 @@ All collectives ride ICI; nothing touches the host inside the step.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,13 +131,18 @@ class ShardedTrainer(Trainer):
         mesh=None,
         axis_name: str = "sp",
         eval_func=None,
+        use_pallas: bool = False,
+        chunk_dtype: str = "bf16",
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
         self.mesh = mesh
         self.axis_name = axis_name
         num_shards = int(mesh.shape[axis_name])
         self.num_real_nodes = graph.num_nodes
-        shard_graph = partition_graph(graph, num_shards, axis_name)
+        shard_graph = partition_graph(
+            graph, num_shards, axis_name,
+            with_chunks=use_pallas, chunk_dtype=chunk_dtype,
+        )
         x_pad = pad_to_shards(np.asarray(x), shard_graph.total_nodes)
         super().__init__(model, shard_graph, x_pad, label, config, eval_func)
         self.node_mask = jnp.asarray(

@@ -36,7 +36,7 @@ from sgformer_tpu.data.metrics import METRICS, count_correct
 from sgformer_tpu.graph import Graph, gcn_norm_weights, pyg_gcn_norm
 from sgformer_tpu.train.logger import RunLogger
 from sgformer_tpu.train.optim import dual_weight_decay_adam
-from sgformer_tpu.train.trainer import TrainConfig, bce_loss, cross_entropy_loss
+from sgformer_tpu.train.trainer import TrainConfig
 
 
 def edge_bucket(n_edges: int, ladder_base: int = 4096, growth: float = 1.3) -> int:

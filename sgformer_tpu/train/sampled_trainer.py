@@ -69,7 +69,12 @@ class SampledTrainer:
     ):
         self.model = model
         self.config = config
-        self.x = np.asarray(x, dtype=np.float32)
+        # Leave FeatureStore/memmap-backed features un-materialized — the
+        # per-batch row gather is the only access pattern.
+        if hasattr(x, "__getitem__") and not isinstance(x, np.ndarray):
+            self.x = x
+        else:
+            self.x = np.asarray(x, dtype=np.float32)
         self.label = np.asarray(label).reshape(-1).astype(np.int32)
         self.edge_index = np.asarray(edge_index)
         self.num_nodes = self.x.shape[0]

@@ -12,7 +12,6 @@ import time
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from sgformer_tpu.utils.memory import device_memory_stats

@@ -12,9 +12,7 @@ one eval step per run.
 from __future__ import annotations
 
 import dataclasses
-import time
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -184,3 +184,108 @@ def test_sharded_trainer_learns(problem):
     logger = trainer.fit([split])
     stats = logger.run_summary(0)
     assert stats["final_test"] > 0.5  # well above 0.25 chance
+
+
+@pytest.mark.parametrize("dtype", ["f32"])
+def test_sharded_chunked_spmm_matches_plain(problem, dtype):
+    """Sharded forward with per-shard Pallas chunk plans (interpret mode)
+    == the XLA sharded path == the single-device path."""
+    g, x, label = problem
+    mesh = make_mesh((N_DEV,), ("sp",))
+    cfg_sp = SGFormerConfig(16, 4, gnn="graphconv", trans_num_layers=1,
+                            axis_name="sp")
+    model_sp = SGFormer(cfg_sp)
+
+    sg_plain = partition_graph(g, N_DEV, "sp")
+    sg_chunk = partition_graph(
+        g, N_DEV, "sp", with_chunks=True, chunk_edges=128, window_rows=64,
+        chunk_dtype=dtype, chunk_interpret=True,
+    )
+    x_pad = jnp.asarray(pad_to_shards(x, sg_plain.total_nodes))
+    nmask = jnp.asarray(node_mask_for(g.num_nodes, sg_plain.total_nodes))
+
+    variables = SGFormer(SGFormerConfig(16, 4, gnn="graphconv",
+                                        trans_num_layers=1)).init(
+        jax.random.PRNGKey(0), jnp.asarray(x), g, train=False
+    )
+
+    def eval_core(params, bs, xp, gg, nm):
+        gg = gg.local()
+        return model_sp.apply(
+            {"params": params, "batch_stats": bs}, xp, gg, train=False,
+            node_mask=nm,
+        )
+
+    def run(sg):
+        step = jax.jit(jax.shard_map(
+            eval_core, mesh=mesh,
+            in_specs=(P(), P(), P("sp", None), P("sp"), P("sp")),
+            out_specs=P("sp", None), check_vma=False,
+        ))
+        return np.asarray(step(
+            variables["params"], variables.get("batch_stats", {}),
+            x_pad, sg, nmask,
+        ))[: g.num_nodes]
+
+    out_plain = run(sg_plain)
+    out_chunk = run(sg_chunk)
+    np.testing.assert_allclose(out_chunk, out_plain, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_chunked_grads_match(problem):
+    g, x, label = problem
+    mesh = make_mesh((N_DEV,), ("sp",))
+    cfg_sp = SGFormerConfig(16, 4, gnn="graphconv", trans_num_layers=1,
+                            trans_dropout=0.0, gnn_dropout=0.0,
+                            axis_name="sp")
+    model_sp = SGFormer(cfg_sp)
+    sg_plain = partition_graph(g, N_DEV, "sp")
+    sg_chunk = partition_graph(
+        g, N_DEV, "sp", with_chunks=True, chunk_edges=128, window_rows=64,
+        chunk_dtype="f32", chunk_interpret=True,
+    )
+    x_pad = jnp.asarray(pad_to_shards(x, sg_plain.total_nodes))
+    nmask = jnp.asarray(node_mask_for(g.num_nodes, sg_plain.total_nodes))
+    lab = jnp.asarray(pad_to_shards(
+        np.asarray(label).reshape(-1).astype(np.int32), sg_plain.total_nodes))
+    tmask = nmask
+
+    variables = SGFormer(SGFormerConfig(
+        16, 4, gnn="graphconv", trans_num_layers=1,
+        trans_dropout=0.0, gnn_dropout=0.0)).init(
+        jax.random.PRNGKey(0), jnp.asarray(x), g, train=False
+    )
+
+    def grad_core(p, bs, xp, gg, lb, tm, nm):
+        gg = gg.local()
+
+        def lf(p):
+            out, _ = model_sp.apply(
+                {"params": p, "batch_stats": bs}, xp, gg, train=True,
+                node_mask=nm, rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"],
+            )
+            logp = jax.nn.log_softmax(out)
+            per = -jnp.take_along_axis(logp, lb[:, None], axis=1)[:, 0]
+            m = tm.astype(jnp.float32)
+            s, c = jax.lax.psum((jnp.sum(per * m), jnp.sum(m)), "sp")
+            return s / c
+
+        return jax.lax.pmean(jax.grad(lf)(p), "sp")
+
+    def grads(sg):
+        fn = jax.jit(jax.shard_map(
+            grad_core, mesh=mesh,
+            in_specs=(P(), P(), P("sp", None), P("sp"), P("sp"), P("sp"),
+                      P("sp")),
+            out_specs=P(), check_vma=False,
+        ))
+        return fn(variables["params"], variables.get("batch_stats", {}),
+                  x_pad, sg, lab, tmask, nmask)
+
+    g_plain = grads(sg_plain)
+    g_chunk = grads(sg_chunk)
+    for a, b in zip(jax.tree_util.tree_leaves(g_plain),
+                    jax.tree_util.tree_leaves(g_chunk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -136,3 +136,24 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["state"]["params"]["w"]), np.arange(6.0).reshape(2, 3)
     )
+
+
+def test_sampled_trainer_with_feature_store(ds, tmp_path):
+    """Memory-mapped features drive the sampled trainer unchanged."""
+    from sgformer_tpu.data import FeatureStore
+
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    store = FeatureStore.create(
+        str(tmp_path / "feat.bin"), ds.graph["node_feat"]
+    )
+    assert len(store) == n and store.shape[1] == 16
+    cfg = SampledTrainConfig(
+        lr=0.01, epochs=2, batch_size=100, fanouts=(5, 3), display_step=-1
+    )
+    model = SGFormer(SGFormerConfig.papers100m(16, ds.num_classes))
+    trainer = SampledTrainer(model, edge_index, store, ds.label, cfg)
+    assert trainer.x is store  # not materialized
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.results[0]
