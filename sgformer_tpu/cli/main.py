@@ -145,7 +145,10 @@ def main(argv=None):
         if args.trainer == "sharded":
             from sgformer_tpu.parallel.sharded import ShardedTrainer
 
-            trainer = ShardedTrainer(model, graph, x, ds.label, TrainConfig(**common))
+            trainer = ShardedTrainer(
+                model, graph, x, ds.label, TrainConfig(**common),
+                use_pallas=args.use_pallas, chunk_dtype=args.chunk_dtype,
+            )
         else:
             trainer = Trainer(
                 model, graph, x, ds.label, TrainConfig(**common),
@@ -168,7 +171,8 @@ def main(argv=None):
         )
         trainer = BatchTrainer(
             model, e, x, ds.label,
-            BatchTrainConfig(**common, batch_size=args.batch_size),
+            BatchTrainConfig(**common, batch_size=args.batch_size,
+                             use_pallas=args.use_pallas),
             full_graph=full_graph, with_pyg_norm=needs_pyg,
         )
     elif args.trainer == "sampled":
@@ -195,6 +199,18 @@ def main(argv=None):
         )
     else:
         raise ValueError(args.trainer)
+
+    if args.time_test:
+        # medium/time_test.py semantics: timed epochs, fwd latency, memory
+        from sgformer_tpu.train.timing import time_test
+
+        assert args.trainer in ("full", "sharded"), "time_test: full-graph"
+        res = time_test(trainer, splits[0], epochs=args.epochs,
+                        trace_dir=args.trace_dir)
+        import json
+
+        print(json.dumps(res.as_dict()))
+        return res
 
     logger = trainer.fit(splits)
     stats = logger.print_statistics()

@@ -64,6 +64,10 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--attention", type=str, default="simple",
                         choices=["simple", "softmax", "gat", "performer"])
+    parser.add_argument("--attention_impl", type=str, default="xla",
+                        choices=["xla", "pallas"])
+    parser.add_argument("--compute_dtype", type=str, default="f32",
+                        choices=["f32", "bf16"])
     # sgformer gnn branch (large/parse.py:104-118)
     parser.add_argument("--use_graph", action="store_true", default=True)
     parser.add_argument("--no_graph", action="store_true")
@@ -95,6 +99,11 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--use_pretrained", action="store_true")
     parser.add_argument("--model_dir", type=str, default="models/ckpt")
     # outputs
+    parser.add_argument("--time_test", action="store_true",
+                        help="timing/memory benchmark instead of training "
+                             "(medium/time_test.py equivalent)")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="write a jax.profiler trace during --time_test")
     parser.add_argument("--save_result", action="store_true")
     parser.add_argument("--result_dir", type=str, default="results/")
     return parser
@@ -136,6 +145,8 @@ def parse_method(args, n: int, c: int, d: int):
             trans_use_weight=args.trans_use_weight,
             trans_use_act=args.trans_use_act,
             attention_kernel=args.attention,
+            attention_impl=args.attention_impl,
+            compute_dtype=args.compute_dtype,
             alpha=args.alpha,
             gnn="none" if args.no_graph else args.backbone,
             gnn_num_layers=args.gnn_num_layers,

@@ -149,6 +149,66 @@ def _build_plan(
     )
 
 
+def _pad_plan(plan: ChunkPlan, nc_max: int) -> ChunkPlan:
+    """Pad a plan to ``nc_max`` chunks (padding chunks target the last
+    window with weight 0) so dynamically-built plans share one shape."""
+    pad = nc_max - plan.num_chunks
+    if pad < 0:
+        raise ValueError(f"nc_max {nc_max} < chunks {plan.num_chunks}")
+    if pad == 0:
+        return plan
+    C = plan.chunk_edges
+    last_w = plan.num_rows_out // plan.window_rows - 1
+    z_i = jnp.zeros((pad, C), dtype=jnp.int32)
+    return dataclasses.replace(
+        plan,
+        gather_idx=jnp.concatenate([plan.gather_idx, z_i]),
+        local_dst=jnp.concatenate([plan.local_dst, z_i]),
+        weight=jnp.concatenate(
+            [plan.weight, jnp.zeros((pad, C), dtype=jnp.float32)]
+        ),
+        window_id=jnp.concatenate(
+            [plan.window_id, jnp.full((pad,), last_w, dtype=jnp.int32)]
+        ),
+        num_chunks=nc_max,
+    )
+
+
+def max_chunks_bound(edge_cap: int, num_nodes: int, chunk_edges: int,
+                     window_rows: int) -> int:
+    """Worst-case chunk count for <= edge_cap edges over num_nodes rows:
+    full chunks + one partial chunk (or one empty chunk) per window."""
+    n_windows = -(-num_nodes // window_rows)
+    return edge_cap // chunk_edges + n_windows
+
+
+def build_chunks_fixed(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_nodes: int,
+    *,
+    chunk_edges: int = 512,
+    window_rows: int = 128,
+    nc_max: Optional[int] = None,
+    edge_cap: Optional[int] = None,
+) -> ChunkedSpMM:
+    """Like :func:`build_chunks` but padded to a FIXED chunk count so
+    per-batch dynamically-built plans (mini-batch training) all share one
+    compiled step shape."""
+    nc = nc_max if nc_max is not None else max_chunks_bound(
+        edge_cap if edge_cap is not None else len(src),
+        num_nodes, chunk_edges, window_rows,
+    )
+    sp = build_chunks(
+        src, dst, weight, num_nodes,
+        chunk_edges=chunk_edges, window_rows=window_rows,
+    )
+    return dataclasses.replace(
+        sp, fwd=_pad_plan(sp.fwd, nc), bwd=_pad_plan(sp.bwd, nc)
+    )
+
+
 def build_chunks(
     src: np.ndarray,
     dst: np.ndarray,

@@ -142,6 +142,7 @@ class ShardedTrainer(Trainer):
         shard_graph = partition_graph(
             graph, num_shards, axis_name,
             with_chunks=use_pallas, chunk_dtype=chunk_dtype,
+            chunk_interpret=jax.default_backend() not in ("tpu",),
         )
         x_pad = pad_to_shards(np.asarray(x), shard_graph.total_nodes)
         super().__init__(model, shard_graph, x_pad, label, config, eval_func)

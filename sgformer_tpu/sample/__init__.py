@@ -1,5 +1,6 @@
 from sgformer_tpu.sample.neighbor import (  # noqa: F401
     CSRGraph,
     NeighborSampler,
+    PrefetchIterator,
     SampledBatch,
 )

@@ -125,6 +125,11 @@ class NeighborSampler:
             cap += worst
         self.node_cap = node_cap or min(cap, batch_size * 64)
         self.edge_cap = edge_cap or self.node_cap * max(self.fanouts)
+        # telemetry: how often the static caps clipped a batch (raise the
+        # caps if these grow — clipped batches silently drop frontier
+        # nodes/edges, which biases training)
+        self.truncated_node_batches = 0
+        self.truncated_edge_batches = 0
 
     def sample(self, seeds: np.ndarray) -> SampledBatch:
         seeds = np.asarray(seeds, dtype=np.int64)
@@ -147,6 +152,8 @@ class NeighborSampler:
             if len(nodes) >= self.node_cap:
                 break
 
+        if len(nodes) > self.node_cap:
+            self.truncated_node_batches += 1
         node_ids = nodes[: self.node_cap]
         if all_src:
             src = np.concatenate(all_src)
@@ -176,6 +183,7 @@ class NeighborSampler:
         w = gcn_norm_weights(src, dst, n_real).astype(np.float32)
         e = len(src)
         if e > self.edge_cap:
+            self.truncated_edge_batches += 1
             src, dst, w = src[: self.edge_cap], dst[: self.edge_cap], w[: self.edge_cap]
             e = self.edge_cap
         pad_e = self.edge_cap - e

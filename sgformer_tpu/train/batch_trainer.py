@@ -54,8 +54,13 @@ def build_subgraph_batch(
     *,
     with_pyg_norm: bool = False,
     bucket: Optional[int] = None,
+    use_pallas: bool = False,
+    chunk_dtype: str = "bf16",
+    chunk_interpret: bool = False,
 ) -> Graph:
-    """Node-induced, relabeled, degree-normalized, edge-padded subgraph."""
+    """Node-induced, relabeled, degree-normalized, edge-padded subgraph.
+    ``use_pallas`` builds fixed-shape MXU chunk plans (padded to the
+    bucket's worst case) so every batch shares one compiled step."""
     node_idx = np.asarray(node_idx)
     b = len(node_idx)
     mapping = np.full(num_nodes_total, -1, dtype=np.int64)
@@ -90,6 +95,13 @@ def build_subgraph_batch(
         pyg_weight = jnp.asarray(
             np.concatenate([pw, np.zeros(max(ppad, 0), dtype=pw.dtype)])
         )
+    chunks = None
+    if use_pallas:
+        from sgformer_tpu.kernels.chunks import build_chunks_fixed
+
+        chunks = build_chunks_fixed(
+            s[:e], d[:e], w[:e], b, edge_cap=cap,
+        )
     return Graph(
         edge_src=jnp.asarray(s, dtype=jnp.int32),
         edge_dst=jnp.asarray(d, dtype=jnp.int32),
@@ -100,6 +112,9 @@ def build_subgraph_batch(
         pyg_src=pyg_src,
         pyg_dst=pyg_dst,
         pyg_weight=pyg_weight,
+        chunks=chunks,
+        chunk_dtype=chunk_dtype,
+        chunk_interpret=chunk_interpret,
     )
 
 
@@ -109,6 +124,7 @@ class BatchTrainConfig(TrainConfig):
     eval_mode: str = "full"  # 'full' | 'batch' (streaming, papers100M path)
     eval_device: str = "default"  # 'default' | 'cpu' (evaluate_large offload)
     ladder_base: int = 65536
+    use_pallas: bool = False  # MXU chunk plans per batch (fixed shape)
 
 
 class BatchTrainer:
@@ -135,6 +151,8 @@ class BatchTrainer:
         self.num_nodes = self.x.shape[0]
         self.with_pyg_norm = with_pyg_norm
         self.full_graph = full_graph
+        # pallas compiles on TPU only; CPU (tests) runs interpret mode
+        self.chunk_interpret = jax.default_backend() not in ("tpu",)
         if config.loss == "bce":
             if self.label_np.ndim == 1 or self.label_np.shape[1] == 1:
                 n_cls = int(self.label_np.max()) + 1
@@ -237,6 +255,8 @@ class BatchTrainer:
                     self.edge_index, bidx, self.num_nodes,
                     with_pyg_norm=self.with_pyg_norm,
                     bucket=self._eval_bucket,
+                    use_pallas=cfg.use_pallas,
+                    chunk_interpret=self.chunk_interpret,
                 )
                 out = np.asarray(fwd(state, jnp.asarray(self.x[bidx]), gb))
                 t, c = count_correct(self.label_flat[bidx], out)
@@ -274,11 +294,12 @@ class BatchTrainer:
             warm_graph = build_subgraph_batch(
                 self.edge_index, warm_idx, self.num_nodes,
                 with_pyg_norm=self.with_pyg_norm, bucket=self._bucket,
+                use_pallas=cfg.use_pallas,
+                chunk_interpret=self.chunk_interpret,
             )
-            variables = self.model.init(
-                {"params": init_rng}, jnp.asarray(self.x[warm_idx]),
-                warm_graph, train=False,
-            )
+            variables = jax.jit(
+                lambda r, x, g: self.model.init({"params": r}, x, g, train=False)
+            )(init_rng, jnp.asarray(self.x[warm_idx]), warm_graph)
             params = variables["params"]
             state = {
                 "params": params,
@@ -292,21 +313,35 @@ class BatchTrainer:
 
             for epoch in range(cfg.epochs):
                 perm = np_rng.permutation(self.num_nodes)
-                for i in range(num_batches):
-                    bidx = perm[i * B : (i + 1) * B]
-                    gb = build_subgraph_batch(
-                        self.edge_index, bidx, self.num_nodes,
-                        with_pyg_norm=self.with_pyg_norm, bucket=self._bucket,
-                    )
+
+                def batch_iter(perm=perm):
+                    # host-side subgraph construction, run ahead of the
+                    # device by the prefetch thread (the reference's
+                    # in-loop CPU subgraph call is its per-batch
+                    # bottleneck, main-batch.py:139)
+                    for i in range(num_batches):
+                        bidx = perm[i * B : (i + 1) * B]
+                        gb = build_subgraph_batch(
+                            self.edge_index, bidx, self.num_nodes,
+                            with_pyg_norm=self.with_pyg_norm,
+                            bucket=self._bucket,
+                            use_pallas=cfg.use_pallas,
+                            chunk_interpret=self.chunk_interpret,
+                        )
+                        lab = (
+                            self.label_onehot[bidx]
+                            if cfg.loss == "bce"
+                            else self.label_flat[bidx]
+                        )
+                        yield bidx, gb, lab
+
+                from sgformer_tpu.sample.neighbor import PrefetchIterator
+
+                for bidx, gb, lab in PrefetchIterator(batch_iter(), depth=2):
                     rng, drop = jax.random.split(rng)
-                    lab = (
-                        jnp.asarray(self.label_onehot[bidx])
-                        if cfg.loss == "bce"
-                        else jnp.asarray(self.label_flat[bidx])
-                    )
                     state, opt_state, loss = train_step(
                         state, opt_state, drop,
-                        jnp.asarray(self.x[bidx]), gb, lab,
+                        jnp.asarray(self.x[bidx]), gb, jnp.asarray(lab),
                         jnp.asarray(train_set[bidx]),
                     )
                 if epoch % cfg.eval_step == 0:

@@ -165,13 +165,12 @@ class SampledTrainer:
             rng, init_rng = jax.random.split(rng)
             warm = self.sampler.sample(train_seeds[: cfg.batch_size])
             g0 = batch_graph(warm)
-            variables = self.model.init(
-                {"params": init_rng},
-                jnp.asarray(self.x[warm.node_ids]),
-                g0,
-                train=False,
-                node_mask=jnp.asarray(warm.node_mask),
-            )
+            variables = jax.jit(
+                lambda r, x, g, nm: self.model.init(
+                    {"params": r}, x, g, train=False, node_mask=nm
+                )
+            )(init_rng, jnp.asarray(self.x[warm.node_ids]), g0,
+              jnp.asarray(warm.node_mask))
             params = variables["params"]
             if cfg.use_pretrained:
                 restored = load_checkpoint(cfg.model_dir)

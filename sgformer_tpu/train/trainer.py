@@ -100,9 +100,13 @@ class Trainer:
     # -- state -------------------------------------------------------------
 
     def init_state(self, rng):
-        variables = self.model.init(
-            {"params": rng}, self.x, self.graph, train=False, **self.model_kwargs
-        )
+        # jit the init: un-jitted flax init evaluates eagerly op-by-op,
+        # which is pathological over a high-latency device transport
+        variables = jax.jit(
+            lambda r, x, g: self.model.init(
+                {"params": r}, x, g, train=False, **self.model_kwargs
+            )
+        )(rng, self.x, self.graph)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", freeze({}))
         tx = dual_weight_decay_adam(

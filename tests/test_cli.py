@@ -76,3 +76,12 @@ def test_cli_transformer_methods(method):
         "--num_heads", "2",
     ])
     assert logger.results[0]
+
+
+def test_cli_time_test():
+    res = main([
+        "--dataset", "synth-n200-e1500-f12-c3", "--method", "sgformer",
+        "--trainer", "full", "--epochs", "3", "--display_step", "-1",
+        "--rand_split", "--time_test",
+    ])
+    assert res.per_epoch_ms > 0 and res.forward_ms > 0

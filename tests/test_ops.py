@@ -116,3 +116,26 @@ def test_preprocess_undirected_selfloops():
     indptr = np.asarray(g.indptr)
     assert indptr[-1] == g.num_edges
     np.testing.assert_array_equal(np.diff(indptr), np.bincount(dst, minlength=3))
+
+
+def test_sddmm_matches_dense():
+    from sgformer_tpu.ops.sddmm import sddmm, sddmm_softmax_weights
+
+    rng = np.random.default_rng(5)
+    n, d, e = 40, 8, 150
+    q = rng.standard_normal((n, d)).astype(np.float32)
+    k = rng.standard_normal((n, d)).astype(np.float32)
+    src = rng.integers(0, n, e)
+    dst = np.sort(rng.integers(0, n, e))
+    got = np.asarray(sddmm(jnp.asarray(q), jnp.asarray(k),
+                           jnp.asarray(src), jnp.asarray(dst)))
+    want = np.einsum("ed,ed->e", q[dst], k[src])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    w = np.asarray(sddmm_softmax_weights(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(src), jnp.asarray(dst), n
+    ))
+    sums = np.zeros(n)
+    np.add.at(sums, dst, w)
+    has = np.bincount(dst, minlength=n) > 0
+    np.testing.assert_allclose(sums[has], 1.0, rtol=1e-5)

@@ -289,3 +289,21 @@ def test_sharded_chunked_grads_match(problem):
                     jax.tree_util.tree_leaves(g_chunk)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_trainer_pallas_mode(problem):
+    from sgformer_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset(num_nodes=160, num_edges=1200, num_features=12,
+                           num_classes=4, seed=4)
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    cfg = SGFormerConfig(16, 4, gnn="graphconv", axis_name="sp")
+    model = SGFormer(cfg)
+    tc = TrainConfig(lr=0.01, epochs=5, eval_step=5, display_step=-1)
+    trainer = ShardedTrainer(
+        model, g, ds.graph["node_feat"], ds.label, tc,
+        mesh=make_mesh((N_DEV,), ("sp",)), use_pallas=True,
+    )
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.results[0]

@@ -15,6 +15,7 @@ from sgformer_tpu.sample.neighbor import CSRGraph, NeighborSampler
 from sgformer_tpu.train import (
     BatchTrainConfig,
     BatchTrainer,
+    build_subgraph_batch,
     SampledTrainConfig,
     SampledTrainer,
     load_checkpoint,
@@ -154,6 +155,46 @@ def test_sampled_trainer_with_feature_store(ds, tmp_path):
     model = SGFormer(SGFormerConfig.papers100m(16, ds.num_classes))
     trainer = SampledTrainer(model, edge_index, store, ds.label, cfg)
     assert trainer.x is store  # not materialized
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.results[0]
+
+
+def test_batch_subgraph_pallas_chunks_match_xla(ds):
+    """Fixed-shape chunk plans on batch subgraphs: same aggregation as the
+    XLA path, identical plan shapes across different batches."""
+    from sgformer_tpu.kernels.spmm import chunked_spmm
+    from sgformer_tpu.ops.spmm import spmm
+
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    rng = np.random.default_rng(3)
+    shapes = set()
+    for _ in range(3):
+        bidx = rng.permutation(n)[:200]
+        g = build_subgraph_batch(
+            edge_index, bidx, n, bucket=2048, use_pallas=True,
+            chunk_dtype="f32", chunk_interpret=True,
+        )
+        shapes.add(tuple(g.chunks.fwd.gather_idx.shape))
+        x = jnp.asarray(rng.standard_normal((200, 16)).astype(np.float32))
+        want = spmm(x, g.edge_src, g.edge_dst, g.gcn_weight, 200)
+        got = g.propagate(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-5)
+    assert len(shapes) == 1  # one compiled step shape for all batches
+
+
+def test_batch_trainer_pallas_mode(ds):
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    cfg = BatchTrainConfig(
+        lr=0.01, epochs=6, eval_step=5, batch_size=200, ladder_base=1024,
+        eval_mode="batch", display_step=-1, use_pallas=True,
+    )
+    model = SGFormer(SGFormerConfig.large(16, ds.num_classes))
+    trainer = BatchTrainer(model, edge_index, ds.graph["node_feat"], ds.label, cfg)
+    assert trainer.chunk_interpret  # CPU test environment
     split = ds.get_idx_split(rng=np.random.default_rng(0))
     logger = trainer.fit([split])
     assert logger.results[0]
