@@ -17,3 +17,4 @@ from sgformer_tpu.parallel.partition import (  # noqa: F401
     pad_to_shards,
 )
 from sgformer_tpu.parallel.sharded import ShardedTrainer, make_sharded_steps  # noqa: F401
+from sgformer_tpu.parallel.dp_trainer import DPBatchTrainer  # noqa: F401

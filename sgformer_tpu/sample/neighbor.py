@@ -123,7 +123,10 @@ class NeighborSampler:
         for f in self.fanouts:
             worst = worst * f
             cap += worst
-        self.node_cap = node_cap or min(cap, batch_size * 64)
+        # default cap: generous multiple of the batch (the [15,10,5]
+        # fanout's realistic expansion) — soak telemetry showed x64
+        # truncating hop-3 on dense graphs
+        self.node_cap = node_cap or min(cap, batch_size * 160)
         self.edge_cap = edge_cap or self.node_cap * max(self.fanouts)
         # telemetry: how often the static caps clipped a batch (raise the
         # caps if these grow — clipped batches silently drop frontier

@@ -27,6 +27,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -168,7 +170,7 @@ class BatchTrainer:
     def _train_step_for(self, tx):
         cfg = self.config
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(state, opt_state, rng, x_b, graph_b, label_b, train_mask_b):
             def loss_fn(params, batch_stats):
                 out, mut = self.model.apply(

@@ -19,6 +19,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -92,7 +94,7 @@ class SampledTrainer:
         cfg = self.config
         n_seed = cfg.batch_size
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(state, opt_state, rng, x_b, graph_b, label_b, node_mask):
             def loss_fn(params, batch_stats):
                 out, mut = self.model.apply(

@@ -14,6 +14,8 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -146,7 +148,7 @@ class Trainer:
                 loss = loss - cfg.lamda * sum(link_losses) / len(link_losses)
             return loss, mutated["batch_stats"]
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=(0, 1))
         def train_step(state, opt_state, dropout_rng, train_idx):
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"], state["batch_stats"], dropout_rng, train_idx

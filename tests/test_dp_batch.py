@@ -156,3 +156,24 @@ def test_dp_sp_training_converges():
         )
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.8, losses
+
+
+def test_dp_batch_trainer_end_to_end():
+    from sgformer_tpu.parallel.dp_trainer import DPBatchTrainer
+    from sgformer_tpu.train import BatchTrainConfig
+
+    ds, e, n = _problem()
+    cfg = BatchTrainConfig(
+        lr=0.02, epochs=10, eval_step=5, batch_size=60, ladder_base=512,
+        display_step=-1,
+    )
+    model = SGFormer(SGFormerConfig(32, 4, gnn="graphconv", axis_name="sp",
+                                    trans_dropout=0.1, gnn_dropout=0.1))
+    trainer = DPBatchTrainer(
+        model, e, ds.graph["node_feat"], np.asarray(ds.label), cfg,
+        mesh=make_mesh((2, 4), ("dp", "sp")),
+    )
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.results[0]
+    assert logger.run_summary(0)["final_test"] > 0.3

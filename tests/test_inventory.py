@@ -81,6 +81,7 @@ COMPONENTS = [
     ("sgformer_tpu.parallel", "partition_graph"),
     ("sgformer_tpu.parallel", "ShardedTrainer"),
     ("sgformer_tpu.parallel.dp_batch", "make_dp_sp_train_step"),
+    ("sgformer_tpu.parallel", "DPBatchTrainer"),
     ("sgformer_tpu.parallel.scaling", "measure"),
     # §2.6 + trainers + aux
     ("sgformer_tpu.cli.parse", "parse_method"),
