@@ -95,6 +95,13 @@ def _build_plan(
 ) -> ChunkPlan:
     """Edges MUST be sorted by dst."""
     C, W = chunk_edges, window_rows
+    # Within a window the edge order is free (the selector matmul
+    # accumulates any permutation identically), so re-sort each window's
+    # edges by SOURCE: the kernel's per-edge gather then reads HBM in
+    # ascending address order, which the memory system rewards.
+    if len(src):
+        order = np.lexsort((src, dst // W))
+        src, dst, weight = src[order], dst[order], weight[order]
     n_windows = -(-num_nodes // W)
     indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
     np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
