@@ -147,7 +147,8 @@ def main(argv=None):
 
             trainer = ShardedTrainer(
                 model, graph, x, ds.label, TrainConfig(**common),
-                use_pallas=args.use_pallas, chunk_dtype=args.chunk_dtype,
+                use_pallas=args.use_pallas, use_halo=args.use_halo,
+                chunk_dtype=args.chunk_dtype,
             )
         else:
             trainer = Trainer(

@@ -92,6 +92,9 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
                         help="skip to_undirected (deezer/proteins semantics)")
     parser.add_argument("--use_pallas", action="store_true", default=False,
                         help="build MXU SpMM chunk plans")
+    parser.add_argument("--use_halo", action="store_true", default=False,
+                        help="sharded trainer: boundary-row all-to-all "
+                             "instead of full activation all_gather")
     parser.add_argument("--chunk_dtype", type=str, default="bf16",
                         choices=["bf16", "f32"])
     # checkpointing (100M/parse.py flags)

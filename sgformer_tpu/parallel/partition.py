@@ -35,11 +35,12 @@ from sgformer_tpu.graph import Graph
     jax.tree_util.register_dataclass,
     data_fields=[
         "src", "dst", "weight", "pyg_src", "pyg_dst", "pyg_weight",
-        "chunks_fwd", "chunks_bwd",
+        "chunks_fwd", "chunks_bwd", "halo_send_idx", "halo_gather",
     ],
     meta_fields=[
         "num_nodes", "total_nodes", "num_shards", "axis_name",
         "chunk_edges", "window_rows", "chunk_dtype", "chunk_interpret",
+        "halo_rows",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,6 +80,12 @@ class ShardGraph:
     window_rows: int = 0
     chunk_dtype: str = "bf16"
     chunk_interpret: bool = False
+    # Halo exchange (boundary-row all-to-all instead of the full activation
+    # all_gather): send_idx [S, S, H] local rows shard i ships to shard j;
+    # halo_gather [S, E] edge-source indices into [local rows ++ halo rows].
+    halo_send_idx: Optional[jax.Array] = None
+    halo_gather: Optional[jax.Array] = None
+    halo_rows: int = 0
 
     def local(self) -> "ShardGraph":
         """Drop the leading per-device shard axes (inside shard_map; works
@@ -97,14 +104,19 @@ class ShardGraph:
             pyg_weight=sq(self.pyg_weight, 1),
             chunks_fwd=sqt(self.chunks_fwd, (2, 2, 2, 1)),
             chunks_bwd=sqt(self.chunks_bwd, (2, 2, 2, 1)),
+            halo_send_idx=sq(self.halo_send_idx, 2),
+            halo_gather=sq(self.halo_gather, 1),
         )
 
     def propagate(self, x: jax.Array, kind: str = "gcn") -> jax.Array:
-        """Sharded A_norm @ x: all_gather the [B, F] activation shards into
-        the full [total_nodes, F] matrix over ICI, then aggregate this
-        shard's (dst-sorted) edges — with the Pallas MXU chunk kernel when
-        plans were built, else gather+segment_sum.  Matches
+        """Sharded A_norm @ x.  Cross-shard source rows arrive either via a
+        halo all-to-all of ONLY the boundary rows (when halo plans were
+        built — traffic scales with the edge cut, not N) or a full
+        activation all_gather; aggregation is the Pallas MXU chunk kernel
+        when plans exist, else gather+segment_sum.  All variants match
         :meth:`sgformer_tpu.graph.Graph.propagate` exactly on real rows."""
+        if kind == "gcn" and self.halo_send_idx is not None:
+            return self._halo_propagate(x)
         x_full = jax.lax.all_gather(x, self.axis_name, axis=0, tiled=True)
         if kind == "gcn" and self.chunks_fwd is not None:
             return self._chunked_propagate(x_full)
@@ -116,6 +128,26 @@ class ShardGraph:
         msgs = jnp.take(x_full, src, axis=0) * w[:, None].astype(x.dtype)
         return jax.ops.segment_sum(
             msgs, dst, num_segments=self.num_nodes, indices_are_sorted=True
+        )
+
+    def _halo_propagate(self, x: jax.Array) -> jax.Array:
+        """Boundary-row exchange (SURVEY.md §7 step 5): each shard ships the
+        rows its peers' edges reference ([S, H, F] all-to-all over ICI),
+        builds the [B + S·H, F] lookup table of local+halo rows, and
+        aggregates its dst-sorted edges locally.  Differentiable end to end
+        (all_to_all transposes to all_to_all)."""
+        buf = jnp.take(x, self.halo_send_idx, axis=0)  # [S, H, F]
+        recv = jax.lax.all_to_all(
+            buf, self.axis_name, split_axis=0, concat_axis=0, tiled=False
+        )  # [S, H, F]: slot i holds rows from shard i
+        table = jnp.concatenate(
+            [x, recv.reshape(-1, x.shape[-1])], axis=0
+        )
+        msgs = jnp.take(table, self.halo_gather, axis=0) * self.weight[
+            :, None
+        ].astype(x.dtype)
+        return jax.ops.segment_sum(
+            msgs, self.dst, num_segments=self.num_nodes, indices_are_sorted=True
         )
 
     def _chunked_propagate(self, x_full: jax.Array) -> jax.Array:
@@ -234,12 +266,60 @@ def _shard_chunk_plans(
     return stack(fwd_plans), stack(bwd_plans)
 
 
+def _build_halo(s_src: np.ndarray, block: int, num_shards: int):
+    """Halo plans from the per-shard global-src edge arrays.
+
+    Returns (send_idx [S, S, H], halo_gather [S, E], H): shard i sends its
+    rows ``send_idx[i][j]`` to shard j; shard j's edge e reads table row
+    ``halo_gather[j][e]`` of [its B local rows ++ S·H received rows].
+    Traffic per step = S·H·F rows instead of the all_gather's total_nodes·F
+    — proportional to the partition's edge cut, which clustering/RCM
+    minimizes (docs/MULTIHOST.md)."""
+    S = num_shards
+    E = s_src.shape[1]
+    need = [[np.empty(0, np.int64)] * S for _ in range(S)]
+    for j in range(S):
+        owners = s_src[j] // block
+        for i in range(S):
+            if i == j:
+                continue
+            need[i][j] = np.unique(s_src[j][owners == i]).astype(np.int64)
+    H = max(
+        [1] + [len(need[i][j]) for i in range(S) for j in range(S) if i != j]
+    )
+    send_idx = np.zeros((S, S, H), dtype=np.int32)
+    for i in range(S):
+        for j in range(S):
+            if i == j:
+                continue
+            vs = need[i][j]
+            send_idx[i, j, : len(vs)] = vs - i * block
+    halo_gather = np.zeros((S, E), dtype=np.int32)
+    for j in range(S):
+        src_j = s_src[j].astype(np.int64)
+        owners = src_j // block
+        g = np.empty(E, dtype=np.int64)
+        local = owners == j
+        g[local] = src_j[local] - j * block
+        for i in range(S):
+            if i == j:
+                continue
+            m = owners == i
+            if not m.any():
+                continue
+            k = np.searchsorted(need[i][j], src_j[m])
+            g[m] = block + i * H + k
+        halo_gather[j] = g
+    return send_idx, halo_gather, H
+
+
 def partition_graph(
     graph: Graph,
     num_shards: int,
     axis_name: str = "sp",
     *,
     with_chunks: bool = False,
+    with_halo: bool = False,
     chunk_edges: int = 512,
     window_rows: int = 128,
     chunk_dtype: str = "bf16",
@@ -265,6 +345,12 @@ def partition_graph(
         chunks_fwd, chunks_bwd = _shard_chunk_plans(
             src, dst, w, indptr, num_shards, block, total, n,
             chunk_edges, window_rows,
+        )
+    halo_send = halo_gather = None
+    halo_rows = 0
+    if with_halo:
+        halo_send, halo_gather, halo_rows = _build_halo(
+            s_src, block, num_shards
         )
 
     pyg = (None, None, None)
@@ -294,6 +380,9 @@ def partition_graph(
         window_rows=window_rows if with_chunks else 0,
         chunk_dtype=chunk_dtype,
         chunk_interpret=chunk_interpret,
+        halo_send_idx=None if halo_send is None else jnp.asarray(halo_send),
+        halo_gather=None if halo_gather is None else jnp.asarray(halo_gather),
+        halo_rows=int(halo_rows),
     )
 
 

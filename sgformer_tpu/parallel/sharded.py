@@ -132,6 +132,7 @@ class ShardedTrainer(Trainer):
         axis_name: str = "sp",
         eval_func=None,
         use_pallas: bool = False,
+        use_halo: bool = False,
         chunk_dtype: str = "bf16",
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
@@ -141,7 +142,8 @@ class ShardedTrainer(Trainer):
         self.num_real_nodes = graph.num_nodes
         shard_graph = partition_graph(
             graph, num_shards, axis_name,
-            with_chunks=use_pallas, chunk_dtype=chunk_dtype,
+            with_chunks=use_pallas, with_halo=use_halo,
+            chunk_dtype=chunk_dtype,
             chunk_interpret=jax.default_backend() not in ("tpu",),
         )
         x_pad = pad_to_shards(np.asarray(x), shard_graph.total_nodes)
