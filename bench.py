@@ -28,6 +28,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from sgformer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from sgformer_tpu.data.loaders import synthetic_dataset
     from sgformer_tpu.graph import preprocess_graph
     from sgformer_tpu.nn import SGFormer, SGFormerConfig

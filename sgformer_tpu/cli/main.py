@@ -69,6 +69,10 @@ def main(argv=None):
     parser_add_main_args(parser)
     args = parser.parse_args(argv)
 
+    from sgformer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     ds = load_dataset(args.data_dir, args.dataset, args.sub_dataset)
     if args.dataset in ("cora", "citeseer", "pubmed") and not args.no_feat_norm:
         from sgformer_tpu.data.transforms import normalize_features
