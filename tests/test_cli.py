@@ -85,3 +85,13 @@ def test_cli_time_test():
         "--rand_split", "--time_test",
     ])
     assert res.per_epoch_ms > 0 and res.forward_ms > 0
+
+
+def test_cli_sharded_with_halo():
+    logger = main([
+        "--dataset", "synth-n240-e2000-f12-c4", "--method", "sgformer",
+        "--trainer", "sharded", "--use_halo", "--epochs", "6",
+        "--eval_step", "5", "--display_step", "-1", "--rand_split",
+        "--backbone", "graphconv",
+    ])
+    assert logger.results[0]

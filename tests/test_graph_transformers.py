@@ -152,3 +152,25 @@ def test_graphormer_random_spatial_stub(problem):
         edge_index, (x > 0).astype(np.int64), N, spatial="random", seed=1
     )
     assert inputs["spatial_pos"].max() < 1000
+
+
+def test_difformer_attention_maps(problem):
+    g, x, label, _ = problem
+    model = DIFFormer(16, C, num_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), g, train=False)
+    out, attns = model.apply(
+        variables, jnp.asarray(x), g, train=False, output_attn=True
+    )
+    assert attns.shape == (2, N, N)
+    assert np.all(np.isfinite(np.asarray(attns)))
+
+
+def test_nodeformer_jk(problem):
+    g, x, label, edge_index = problem
+    adjs = build_nodeformer_adjs(edge_index, N, rb_order=1)
+    model = NodeFormer(16, C, num_layers=2, num_heads=2, rb_order=1,
+                       use_jk=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), g,
+                           train=False, adjs=adjs)
+    out, _ = model.apply(variables, jnp.asarray(x), g, train=False, adjs=adjs)
+    assert out.shape == (N, C)

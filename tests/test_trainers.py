@@ -198,3 +198,22 @@ def test_batch_trainer_pallas_mode(ds):
     split = ds.get_idx_split(rng=np.random.default_rng(0))
     logger = trainer.fit([split])
     assert logger.results[0]
+
+
+def test_batch_trainer_cpu_eval_offload(ds):
+    """evaluate_large semantics: full-graph eval runs on the host device."""
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    full_graph = preprocess_graph(ds.graph["edge_index"], n)
+    cfg = BatchTrainConfig(
+        lr=0.01, epochs=2, eval_step=1, batch_size=200, ladder_base=1024,
+        eval_device="cpu", display_step=-1,
+    )
+    model = SGFormer(SGFormerConfig.large(16, ds.num_classes))
+    trainer = BatchTrainer(
+        model, edge_index, ds.graph["node_feat"], ds.label, cfg,
+        full_graph=full_graph,
+    )
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.results[0]
