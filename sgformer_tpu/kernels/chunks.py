@@ -30,10 +30,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+# One pallas_call handles at most this many chunks; larger plans stream in
+# window-aligned segments (bounds the [E, F] message buffer ~2 GB).
+STREAM_MAX_CHUNKS = 8192
+
+
+def compute_stream_cuts(window_id: np.ndarray, max_chunks: int) -> tuple:
+    """Host-side window-aligned segment boundaries: ((start, end, w_lo,
+    w_hi), ...) covering [0, len(window_id))."""
+    wid = np.asarray(window_id)
+    nc = len(wid)
+    cuts = []
+    start = 0
+    while start < nc:
+        end = min(start + max_chunks, nc)
+        if end < nc:
+            while end > start + 1 and wid[end] == wid[end - 1]:
+                end -= 1
+        cuts.append((int(start), int(end), int(wid[start]), int(wid[end - 1])))
+        start = end
+    return tuple(cuts)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["gather_idx", "local_dst", "weight", "window_id"],
-    meta_fields=["chunk_edges", "window_rows", "num_rows_out", "num_chunks"],
+    meta_fields=[
+        "chunk_edges", "window_rows", "num_rows_out", "num_chunks",
+        "stream_cuts",
+    ],
 )
 @dataclasses.dataclass(frozen=True)
 class ChunkPlan:
@@ -54,6 +79,9 @@ class ChunkPlan:
     window_rows: int
     num_rows_out: int
     num_chunks: int
+    # host-precomputed window-aligned segment boundaries for streaming
+    # (None = single pallas_call)
+    stream_cuts: Optional[tuple] = None
 
 
 @partial(
@@ -122,6 +150,11 @@ def _build_plan(
             window_rows=W,
             num_rows_out=n_windows * W,
             num_chunks=len(wid),
+            stream_cuts=(
+                compute_stream_cuts(wid, STREAM_MAX_CHUNKS)
+                if len(wid) > STREAM_MAX_CHUNKS
+                else None
+            ),
         )
 
     g_idx, l_dst, wts, wids = [], [], [], []
@@ -153,6 +186,11 @@ def _build_plan(
         window_rows=W,
         num_rows_out=n_windows * W,
         num_chunks=len(wids),
+        stream_cuts=(
+            compute_stream_cuts(np.asarray(wids), STREAM_MAX_CHUNKS)
+            if len(wids) > STREAM_MAX_CHUNKS
+            else None
+        ),
     )
 
 

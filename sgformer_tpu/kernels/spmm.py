@@ -68,6 +68,37 @@ def _spmm_kernel(wid_ref, dst_ref, w_ref, msgs_ref, out_ref):
 
 
 def _apply_plan(x, plan: ChunkPlan, compute_dtype, interpret: bool):
+    if plan.stream_cuts is not None:
+        return _apply_plan_streamed(x, plan, compute_dtype, interpret)
+    return _apply_plan_single(x, plan, compute_dtype, interpret)
+
+
+def _apply_plan_streamed(x, plan: ChunkPlan, compute_dtype, interpret: bool):
+    """Stream the plan through its host-precomputed window-aligned segments
+    (``ChunkPlan.stream_cuts``); each segment owns a disjoint window range,
+    so the outputs concatenate.  Bounds the [E, F] message buffer to
+    ~STREAM_MAX_CHUNKS·C·F regardless of total edge count (the jit-safe
+    form: all cut indices are static metadata, never traced values)."""
+    import dataclasses as _dc
+
+    W = plan.window_rows
+    outs = []
+    for start, end, w_lo, w_hi in plan.stream_cuts:
+        sub = _dc.replace(
+            plan,
+            gather_idx=plan.gather_idx[start:end],
+            local_dst=plan.local_dst[start:end],
+            weight=plan.weight[start:end],
+            window_id=plan.window_id[start:end] - w_lo,
+            num_rows_out=(w_hi - w_lo + 1) * W,
+            num_chunks=end - start,
+            stream_cuts=None,
+        )
+        outs.append(_apply_plan_single(x, sub, compute_dtype, interpret))
+    return jnp.concatenate(outs, axis=0)
+
+
+def _apply_plan_single(x, plan: ChunkPlan, compute_dtype, interpret: bool):
     C, W = plan.chunk_edges, plan.window_rows
     F = x.shape[1]
     # Cast BEFORE the gather so the irregular access and the materialized

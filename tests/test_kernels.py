@@ -164,3 +164,35 @@ def test_fused_attention_grads_match_xla():
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-2, atol=1e-4)
+
+
+def test_chunked_spmm_streamed_segments_match(coo):
+    """Window-aligned streaming (for huge edge counts) == single-call path."""
+    import dataclasses
+
+    from sgformer_tpu.kernels.chunks import compute_stream_cuts
+
+    n, src, dst, w, x = coo
+    plan = build_chunks(src, dst, w, n, chunk_edges=128, window_rows=64)
+    assert plan.fwd.num_chunks > 4  # meaningful split below
+    want = chunked_spmm(
+        jnp.asarray(x), plan, compute_dtype=jnp.float32, interpret=True
+    )
+    cuts_f = compute_stream_cuts(np.asarray(plan.fwd.window_id), 4)
+    cuts_b = compute_stream_cuts(np.asarray(plan.bwd.window_id), 4)
+    assert len(cuts_f) > 1
+    plan = dataclasses.replace(
+        plan,
+        fwd=dataclasses.replace(plan.fwd, stream_cuts=cuts_f),
+        bwd=dataclasses.replace(plan.bwd, stream_cuts=cuts_b),
+    )
+    got = chunked_spmm(
+        jnp.asarray(x), plan, compute_dtype=jnp.float32, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # gradient path streams through the transpose plan too
+    g = jnp.asarray(np.random.default_rng(7).standard_normal((n, 64)).astype(np.float32))
+    dx = jax.grad(lambda x: (chunked_spmm(
+        x, plan, compute_dtype=jnp.float32, interpret=True) * g).sum())(jnp.asarray(x))
+    assert np.all(np.isfinite(np.asarray(dx)))
