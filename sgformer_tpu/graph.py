@@ -181,6 +181,7 @@ def preprocess_graph(
     self_loops: bool = True,
     with_pyg_norm: bool = False,
     with_chunks: bool = False,
+    chunk_perm: bool = False,
     chunk_edges: int = 1024,
     window_rows: int = 128,
     chunk_dtype: str = "bf16",
@@ -220,6 +221,7 @@ def preprocess_graph(
         chunks = build_chunks(
             src, dst, weight, num_nodes,
             chunk_edges=chunk_edges, window_rows=window_rows,
+            with_perm=chunk_perm,
         )
         if pyg_np is not None:
             pyg_chunks = build_chunks(

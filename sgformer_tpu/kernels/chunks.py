@@ -54,7 +54,7 @@ def compute_stream_cuts(window_id: np.ndarray, max_chunks: int) -> tuple:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gather_idx", "local_dst", "weight", "window_id"],
+    data_fields=["gather_idx", "local_dst", "weight", "window_id", "edge_perm"],
     meta_fields=[
         "chunk_edges", "window_rows", "num_rows_out", "num_chunks",
         "stream_cuts",
@@ -82,6 +82,10 @@ class ChunkPlan:
     # host-precomputed window-aligned segment boundaries for streaming
     # (None = single pallas_call)
     stream_cuts: Optional[tuple] = None
+    # [n_chunks, C] ORIGINAL edge index of each slot (-1 padding): lets
+    # runtime per-edge values (GAT attention weights) be scattered into
+    # the kernel's slot layout (chunked_spmm_edge_values)
+    edge_perm: Optional[jax.Array] = None
 
 
 @partial(
@@ -113,6 +117,23 @@ class ChunkedSpMM:
         return self.n_out_bwd if self.n_out_bwd is not None else self.num_nodes
 
 
+def _slot_edge_perm(indptr, ids, n_windows, C, W, num_chunks):
+    """Scatter per-edge ids into the kernel's [n_chunks, C] slot layout
+    (same span walk as the fill; -1 marks padding slots)."""
+    perm = np.full((num_chunks, C), -1, dtype=np.int64)
+    chunk = 0
+    for w in range(n_windows):
+        e0, e1 = int(indptr[w * W]), int(indptr[(w + 1) * W])
+        k = max(1, -(-(e1 - e0) // C))
+        for c in range(k):
+            a = e0 + c * C
+            b = min(a + C, e1)
+            if b > a:
+                perm[chunk, : b - a] = ids[a:b]
+            chunk += 1
+    return perm
+
+
 def _build_plan(
     src: np.ndarray,
     dst: np.ndarray,
@@ -120,16 +141,25 @@ def _build_plan(
     num_nodes: int,
     chunk_edges: int,
     window_rows: int,
+    input_ids: Optional[np.ndarray] = None,
+    with_perm: bool = False,
 ) -> ChunkPlan:
-    """Edges MUST be sorted by dst."""
+    """Edges MUST be sorted by dst.  ``input_ids`` maps this call's input
+    edge positions back to the caller's original ids (for transpose plans
+    built from re-sorted edges)."""
     C, W = chunk_edges, window_rows
+    ids = (
+        np.asarray(input_ids)
+        if input_ids is not None
+        else np.arange(len(src), dtype=np.int64)
+    )
     # Within a window the edge order is free (the selector matmul
     # accumulates any permutation identically), so re-sort each window's
     # edges by SOURCE: the kernel's per-edge gather then reads HBM in
     # ascending address order, which the memory system rewards.
     if len(src):
         order = np.lexsort((src, dst // W))
-        src, dst, weight = src[order], dst[order], weight[order]
+        src, dst, weight, ids = src[order], dst[order], weight[order], ids[order]
     n_windows = -(-num_nodes // W)
     indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
     np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
@@ -141,6 +171,14 @@ def _build_plan(
     )
     if native is not None:
         g, ld, wt, wid = native
+        perm = (
+            jnp.asarray(
+                _slot_edge_perm(indptr, ids, n_windows, C, W, len(wid)),
+                dtype=jnp.int32,
+            )
+            if with_perm
+            else None
+        )
         return ChunkPlan(
             gather_idx=jnp.asarray(g),
             local_dst=jnp.asarray(ld),
@@ -155,6 +193,7 @@ def _build_plan(
                 if len(wid) > STREAM_MAX_CHUNKS
                 else None
             ),
+            edge_perm=perm,
         )
 
     g_idx, l_dst, wts, wids = [], [], [], []
@@ -191,6 +230,14 @@ def _build_plan(
             if len(wids) > STREAM_MAX_CHUNKS
             else None
         ),
+        edge_perm=(
+            jnp.asarray(
+                _slot_edge_perm(indptr, ids, n_windows, C, W, len(wids)),
+                dtype=jnp.int32,
+            )
+            if with_perm
+            else None
+        ),
     )
 
 
@@ -214,6 +261,13 @@ def _pad_plan(plan: ChunkPlan, nc_max: int) -> ChunkPlan:
         ),
         window_id=jnp.concatenate(
             [plan.window_id, jnp.full((pad,), last_w, dtype=jnp.int32)]
+        ),
+        edge_perm=(
+            None
+            if plan.edge_perm is None
+            else jnp.concatenate(
+                [plan.edge_perm, jnp.full((pad, C), -1, dtype=jnp.int32)]
+            )
         ),
         num_chunks=nc_max,
     )
@@ -261,15 +315,23 @@ def build_chunks(
     num_nodes: int,
     *,
     chunk_edges: int = 1024,
-    window_rows: int = 512,
+    window_rows: int = 128,
+    with_perm: bool = False,
 ) -> ChunkedSpMM:
-    """Build forward + transpose chunk plans from a dst-sorted COO list."""
+    """Build forward + transpose chunk plans from a dst-sorted COO list.
+    ``with_perm`` additionally records each slot's original edge id so
+    runtime per-edge values (attention weights) can drive the kernel
+    (:func:`sgformer_tpu.kernels.spmm.chunked_spmm_edge_values`)."""
     src = np.asarray(src)
     dst = np.asarray(dst)
     weight = np.asarray(weight)
-    fwd = _build_plan(src, dst, weight, num_nodes, chunk_edges, window_rows)
+    fwd = _build_plan(
+        src, dst, weight, num_nodes, chunk_edges, window_rows,
+        with_perm=with_perm,
+    )
     order = np.argsort(src, kind="stable")
     bwd = _build_plan(
-        dst[order], src[order], weight[order], num_nodes, chunk_edges, window_rows
+        dst[order], src[order], weight[order], num_nodes, chunk_edges,
+        window_rows, input_ids=order, with_perm=with_perm,
     )
     return ChunkedSpMM(fwd=fwd, bwd=bwd, num_nodes=num_nodes)

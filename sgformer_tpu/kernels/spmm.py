@@ -98,7 +98,9 @@ def _apply_plan_streamed(x, plan: ChunkPlan, compute_dtype, interpret: bool):
     return jnp.concatenate(outs, axis=0)
 
 
-def _apply_plan_single(x, plan: ChunkPlan, compute_dtype, interpret: bool):
+def _apply_plan_single(
+    x, plan: ChunkPlan, compute_dtype, interpret: bool, weights=None
+):
     C, W = plan.chunk_edges, plan.window_rows
     F = x.shape[1]
     # Cast BEFORE the gather so the irregular access and the materialized
@@ -110,7 +112,9 @@ def _apply_plan_single(x, plan: ChunkPlan, compute_dtype, interpret: bool):
     # [n_chunks, 1, C]: the (1, C) trailing block shape matches the array's
     # own trailing dims, satisfying the TPU block-tiling rule for int32.
     local_dst = plan.local_dst.reshape(plan.num_chunks, 1, C)
-    weight = plan.weight.reshape(plan.num_chunks, 1, C)
+    weight = (plan.weight if weights is None else weights).reshape(
+        plan.num_chunks, 1, C
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -170,3 +174,56 @@ def chunked_spmm(
 
     f.defvjp(f_fwd, f_bwd)
     return f(x)
+
+
+def _slot_values(edge_values, perm):
+    """Scatter original-order per-edge values into the [nc, C] slot layout
+    (padding slots → 0)."""
+    v = jnp.take(edge_values, jnp.clip(perm, 0, None).reshape(-1), axis=0)
+    return (v * (perm.reshape(-1) >= 0)).astype(jnp.float32)
+
+
+def chunked_spmm_edge_values(
+    x: jax.Array,
+    plan: ChunkedSpMM,
+    edge_values: jax.Array,
+    edge_src: jax.Array,
+    edge_dst: jax.Array,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[i] = Σ_{e: dst[e]==i} v_e · x[src[e]] with RUNTIME per-edge
+    values (GAT attention weights) — differentiable in both ``x`` and
+    ``edge_values``.  ``edge_values`` follows the graph's original
+    dst-sorted edge order; the plans must be built with ``with_perm=True``.
+    d(edge_values) is the SDDMM ``g[dst]·x[src]`` (the same math PyG's
+    GATConv backward does via torch_scatter)."""
+    assert plan.fwd.edge_perm is not None, (
+        "build_chunks(..., with_perm=True) required for runtime edge values"
+    )
+    out_dtype = x.dtype
+
+    @jax.custom_vjp
+    def f(x, ev):
+        wf = _slot_values(ev, plan.fwd.edge_perm)
+        return _apply_plan_single(
+            x, plan.fwd, compute_dtype, interpret, weights=wf
+        )[: plan.rows_fwd].astype(out_dtype)
+
+    def f_fwd(x, ev):
+        return f(x, ev), (x, ev)
+
+    def f_bwd(res, g):
+        x, ev = res
+        wb = _slot_values(ev, plan.bwd.edge_perm)
+        dx = _apply_plan_single(
+            g, plan.bwd, compute_dtype, interpret, weights=wb
+        )[: plan.rows_bwd].astype(out_dtype)
+        gd = jnp.take(g.astype(jnp.float32), edge_dst, axis=0)
+        xs = jnp.take(x.astype(jnp.float32), edge_src, axis=0)
+        dv = jnp.sum(gd * xs, axis=-1).astype(edge_values.dtype)
+        return dx, dv
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(x, edge_values)

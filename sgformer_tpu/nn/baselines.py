@@ -180,11 +180,35 @@ class GATConv(nn.Module):
             negative_slope=self.negative_slope,
         )
         w = edge_softmax(e, graph.edge_dst, graph.num_nodes)  # [E, H]
-        msgs = h[graph.edge_src] * w[..., None]
-        out = jax.ops.segment_sum(
-            msgs, graph.edge_dst, num_segments=graph.num_nodes,
-            indices_are_sorted=True,
-        )
+        chunks = getattr(graph, "chunks", None)
+        if chunks is not None and chunks.fwd.edge_perm is not None:
+            # MXU path: per-head runtime-weighted chunk kernel
+            # (preprocess_graph(with_chunks=True, chunk_perm=True))
+            import jax.numpy as _jnp
+
+            from sgformer_tpu.kernels.spmm import chunked_spmm_edge_values
+
+            dtype = (
+                _jnp.float32 if graph.chunk_dtype == "f32" else _jnp.bfloat16
+            )
+            out = jnp.stack(
+                [
+                    chunked_spmm_edge_values(
+                        h[:, hh], chunks, w[:, hh],
+                        graph.edge_src, graph.edge_dst,
+                        compute_dtype=dtype,
+                        interpret=graph.chunk_interpret,
+                    )
+                    for hh in range(H)
+                ],
+                axis=1,
+            )
+        else:
+            msgs = h[graph.edge_src] * w[..., None]
+            out = jax.ops.segment_sum(
+                msgs, graph.edge_dst, num_segments=graph.num_nodes,
+                indices_are_sorted=True,
+            )
         bias = self.param(
             "bias", nn.initializers.zeros, (H * D if self.concat else D,)
         )

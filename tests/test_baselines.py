@@ -165,3 +165,36 @@ def test_baselines_in_trainer(problem):
         trainer = Trainer(model, g, x, label.reshape(-1, 1), tc)
         logger = trainer.fit([split])
         assert logger.results[0], name
+
+
+def test_gat_chunked_matches_xla(problem):
+    """GAT with the runtime-weighted MXU kernel == segment-sum path."""
+    g_plain, x, label, edge_index = problem
+    g_chunk = preprocess_graph(
+        edge_index, N, with_pyg_norm=True, with_chunks=True, chunk_perm=True,
+        chunk_edges=128, window_rows=64, chunk_dtype="f32",
+        chunk_interpret=True,
+    )
+    model = GAT(8, C, heads=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), g_plain,
+                           train=False)
+    want = np.asarray(model.apply(variables, jnp.asarray(x), g_plain,
+                                  train=False))
+    got = np.asarray(model.apply(variables, jnp.asarray(x), g_chunk,
+                                 train=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss(p, gg):
+        out = model.apply(
+            {"params": p,
+             **{k: v for k, v in variables.items() if k != "params"}},
+            jnp.asarray(x), gg, train=False,
+        )
+        return (out ** 2).mean()
+
+    gw = jax.grad(loss)(variables["params"], g_plain)
+    gc = jax.grad(loss)(variables["params"], g_chunk)
+    for a, b in zip(jax.tree_util.tree_leaves(gw),
+                    jax.tree_util.tree_leaves(gc)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5)

@@ -64,6 +64,7 @@ COMPONENTS = [
     ("sgformer_tpu.train", "RunLogger"),
     # §2.4 native equivalents
     ("sgformer_tpu.kernels", "chunked_spmm"),
+    ("sgformer_tpu.kernels.spmm", "chunked_spmm_edge_values"),
     ("sgformer_tpu.kernels.attention", "fused_linear_attention"),
     ("sgformer_tpu.ops", "spmm"),
     ("sgformer_tpu.ops", "segment_mean"),

@@ -196,3 +196,35 @@ def test_chunked_spmm_streamed_segments_match(coo):
     dx = jax.grad(lambda x: (chunked_spmm(
         x, plan, compute_dtype=jnp.float32, interpret=True) * g).sum())(jnp.asarray(x))
     assert np.all(np.isfinite(np.asarray(dx)))
+
+
+def test_chunked_spmm_edge_values_fwd_and_grads(coo):
+    """Runtime-weighted kernel (GAT path): fwd, dx, and d(edge_values)
+    all match the XLA gather+segment_sum formulation."""
+    from sgformer_tpu.kernels.spmm import chunked_spmm_edge_values
+
+    n, src, dst, w, x = coo
+    plan = build_chunks(src, dst, w, n, chunk_edges=128, window_rows=64,
+                        with_perm=True)
+    rng = np.random.default_rng(11)
+    ev = jnp.asarray(rng.random(len(src)).astype(np.float32))
+    srcj, dstj = jnp.asarray(src), jnp.asarray(dst)
+    xj = jnp.asarray(x)
+
+    def ref(x, ev):
+        return spmm(x, srcj, dstj, ev, n)
+
+    def ker(x, ev):
+        return chunked_spmm_edge_values(
+            x, plan, ev, srcj, dstj, compute_dtype=jnp.float32, interpret=True
+        )
+
+    np.testing.assert_allclose(np.asarray(ker(xj, ev)), np.asarray(ref(xj, ev)),
+                               rtol=1e-5, atol=1e-5)
+
+    g = jnp.asarray(rng.standard_normal((n, 64)).astype(np.float32))
+    want = jax.grad(lambda x, ev: (ref(x, ev) * g).sum(), argnums=(0, 1))(xj, ev)
+    got = jax.grad(lambda x, ev: (ker(x, ev) * g).sum(), argnums=(0, 1))(xj, ev)
+    for a, b in zip(want, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
