@@ -209,46 +209,53 @@ def fused_linear_attention(
     else:
         n_total = n_local
 
+    return _attn_core(axis_name, block, interpret, qs, ks, vs, n_total)
+
+
+# Module-level custom_vjp (closures over traced values leak under
+# re-tracing transforms like nn.remat); statics via nondiff_argnums.
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _attn_core(axis_name, block, interpret, qs, ks, vs, n_total):
     H = qs.shape[1]
-
-    @jax.custom_vjp
-    def run(qs, ks, vs):
-        outs = []
-        for h in range(H):
-            out, _ = _fwd_single_head(
-                qs[:, h], ks[:, h], vs[:, h], n_total, axis_name, block,
-                interpret,
-            )
-            outs.append(out)
-        return jnp.stack(outs, axis=1)
-
-    def run_fwd(qs, ks, vs):
-        outs, residuals = [], []
-        for h in range(H):
-            out, res = _fwd_single_head(
-                qs[:, h], ks[:, h], vs[:, h], n_total, axis_name, block,
-                interpret,
-            )
-            outs.append(out)
-            residuals.append(res)
-        return jnp.stack(outs, axis=1), (qs, ks, vs, residuals)
-
-    def run_bwd(saved, g):
-        qs, ks, vs, residuals = saved
-        dqs, dks, dvs = [], [], []
-        for h in range(H):
-            dq, dk, dv = _bwd_single_head(
-                qs[:, h], ks[:, h], vs[:, h], n_total, axis_name,
-                residuals[h], g[:, h],
-            )
-            dqs.append(dq)
-            dks.append(dk)
-            dvs.append(dv)
-        return (
-            jnp.stack(dqs, axis=1),
-            jnp.stack(dks, axis=1),
-            jnp.stack(dvs, axis=1),
+    outs = []
+    for h in range(H):
+        out, _ = _fwd_single_head(
+            qs[:, h], ks[:, h], vs[:, h], n_total, axis_name, block, interpret
         )
+        outs.append(out)
+    return jnp.stack(outs, axis=1)
 
-    run.defvjp(run_fwd, run_bwd)
-    return run(qs, ks, vs)
+
+def _attn_core_fwd(axis_name, block, interpret, qs, ks, vs, n_total):
+    H = qs.shape[1]
+    outs, residuals = [], []
+    for h in range(H):
+        out, res = _fwd_single_head(
+            qs[:, h], ks[:, h], vs[:, h], n_total, axis_name, block, interpret
+        )
+        outs.append(out)
+        residuals.append(res)
+    return jnp.stack(outs, axis=1), (qs, ks, vs, n_total, residuals)
+
+
+def _attn_core_bwd(axis_name, block, interpret, saved, g):
+    qs, ks, vs, n_total, residuals = saved
+    H = qs.shape[1]
+    dqs, dks, dvs = [], [], []
+    for h in range(H):
+        dq, dk, dv = _bwd_single_head(
+            qs[:, h], ks[:, h], vs[:, h], n_total, axis_name,
+            residuals[h], g[:, h],
+        )
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+    return (
+        jnp.stack(dqs, axis=1),
+        jnp.stack(dks, axis=1),
+        jnp.stack(dvs, axis=1),
+        jnp.zeros_like(n_total),
+    )
+
+
+_attn_core.defvjp(_attn_core_fwd, _attn_core_bwd)

@@ -21,6 +21,8 @@ edge weights are graph constants, so no weight cotangent is needed.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -143,6 +145,48 @@ def _apply_plan_single(
     return out
 
 
+def _zero_cotangent(tree):
+    """Symbolic-zero cotangents for a pytree of aux arrays: float0 for
+    integer leaves, real zeros for float leaves (custom_vjp convention)."""
+    import numpy as np
+
+    def one(leaf):
+        if leaf is None:
+            return None
+        if jnp.issubdtype(leaf.dtype, jnp.floating):
+            return jnp.zeros_like(leaf)
+        return np.zeros(leaf.shape, dtype=jax.dtypes.float0)
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+# Module-level custom_vjp with the plan as a PYTREE ARGUMENT (not a
+# closure): per-call closures capture tracers and leak under re-tracing
+# transforms like jax.checkpoint/nn.remat.
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_core(compute_dtype_name: str, interpret: bool, x, plan):
+    dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
+    return _apply_plan(x, plan.fwd, dtype, interpret)[: plan.rows_fwd].astype(
+        x.dtype
+    )
+
+
+def _spmm_core_fwd(compute_dtype_name, interpret, x, plan):
+    return _spmm_core(compute_dtype_name, interpret, x, plan), plan
+
+
+def _spmm_core_bwd(compute_dtype_name, interpret, plan, g):
+    dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
+    # x and the forward output share a dtype, so g.dtype is x.dtype
+    dx = _apply_plan(g, plan.bwd, dtype, interpret)[: plan.rows_bwd].astype(
+        g.dtype
+    )
+    return dx, _zero_cotangent(plan)
+
+
+_spmm_core.defvjp(_spmm_core_fwd, _spmm_core_bwd)
+
+
 def chunked_spmm(
     x: jax.Array,
     plan: ChunkedSpMM,
@@ -155,25 +199,7 @@ def chunked_spmm(
     ``compute_dtype`` is the message/matmul dtype (accumulation is always
     f32); pass ``jnp.float32`` for bit-level parity testing.
     """
-    out_dtype = x.dtype
-
-    @jax.custom_vjp
-    def f(x):
-        return _apply_plan(x, plan.fwd, compute_dtype, interpret)[
-            : plan.rows_fwd
-        ].astype(out_dtype)
-
-    def f_fwd(x):
-        return f(x), None
-
-    def f_bwd(_, g):
-        dx = _apply_plan(g, plan.bwd, compute_dtype, interpret)[
-            : plan.rows_bwd
-        ].astype(out_dtype)
-        return (dx,)
-
-    f.defvjp(f_fwd, f_bwd)
-    return f(x)
+    return _spmm_core(jnp.dtype(compute_dtype).name, interpret, x, plan)
 
 
 def _slot_values(edge_values, perm):
@@ -202,28 +228,45 @@ def chunked_spmm_edge_values(
     assert plan.fwd.edge_perm is not None, (
         "build_chunks(..., with_perm=True) required for runtime edge values"
     )
-    out_dtype = x.dtype
+    return _spmm_ev_core(
+        jnp.dtype(compute_dtype).name, interpret, x, edge_values, plan,
+        edge_src, edge_dst,
+    )
 
-    @jax.custom_vjp
-    def f(x, ev):
-        wf = _slot_values(ev, plan.fwd.edge_perm)
-        return _apply_plan_single(
-            x, plan.fwd, compute_dtype, interpret, weights=wf
-        )[: plan.rows_fwd].astype(out_dtype)
 
-    def f_fwd(x, ev):
-        return f(x, ev), (x, ev)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _spmm_ev_core(compute_dtype_name, interpret, x, ev, plan, edge_src, edge_dst):
+    dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
+    wf = _slot_values(ev, plan.fwd.edge_perm)
+    return _apply_plan_single(
+        x, plan.fwd, dtype, interpret, weights=wf
+    )[: plan.rows_fwd].astype(x.dtype)
 
-    def f_bwd(res, g):
-        x, ev = res
-        wb = _slot_values(ev, plan.bwd.edge_perm)
-        dx = _apply_plan_single(
-            g, plan.bwd, compute_dtype, interpret, weights=wb
-        )[: plan.rows_bwd].astype(out_dtype)
-        gd = jnp.take(g.astype(jnp.float32), edge_dst, axis=0)
-        xs = jnp.take(x.astype(jnp.float32), edge_src, axis=0)
-        dv = jnp.sum(gd * xs, axis=-1).astype(edge_values.dtype)
-        return dx, dv
 
-    f.defvjp(f_fwd, f_bwd)
-    return f(x, edge_values)
+def _spmm_ev_fwd(compute_dtype_name, interpret, x, ev, plan, edge_src, edge_dst):
+    out = _spmm_ev_core(
+        compute_dtype_name, interpret, x, ev, plan, edge_src, edge_dst
+    )
+    return out, (x, ev, plan, edge_src, edge_dst)
+
+
+def _spmm_ev_bwd(compute_dtype_name, interpret, res, g):
+    x, ev, plan, edge_src, edge_dst = res
+    dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
+    wb = _slot_values(ev, plan.bwd.edge_perm)
+    dx = _apply_plan_single(
+        g, plan.bwd, dtype, interpret, weights=wb
+    )[: plan.rows_bwd].astype(x.dtype)
+    gd = jnp.take(g.astype(jnp.float32), edge_dst, axis=0)
+    xs = jnp.take(x.astype(jnp.float32), edge_src, axis=0)
+    dv = jnp.sum(gd * xs, axis=-1).astype(ev.dtype)
+    return (
+        dx,
+        dv,
+        _zero_cotangent(plan),
+        _zero_cotangent(edge_src),
+        _zero_cotangent(edge_dst),
+    )
+
+
+_spmm_ev_core.defvjp(_spmm_ev_fwd, _spmm_ev_bwd)

@@ -54,10 +54,12 @@ class GraphConv(nn.Module):
     use_init: bool = False
     use_act: bool = True
     axis_name: Optional[str] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
         dropout = nn.Dropout(self.dropout, deterministic=not train)
+        layer_cls = nn.remat(GraphConvLayer) if self.remat else GraphConvLayer
 
         def bn(h, name):
             return MaskedBatchNorm(axis_name=self.axis_name, name=name)(
@@ -75,7 +77,7 @@ class GraphConv(nn.Module):
         # residual term are always the input-MLP activation.
         x0 = x
         for i in range(self.num_layers):
-            x = GraphConvLayer(
+            x = layer_cls(
                 self.hidden_channels,
                 use_weight=self.use_weight,
                 use_init=self.use_init,

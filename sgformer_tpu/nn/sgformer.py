@@ -72,6 +72,9 @@ class SGFormerConfig:
     # precision — params/norm-stats/logits stay f32, matmuls and the SpMM
     # message stream run at half the HBM traffic)
     compute_dtype: str = "f32"
+    # rematerialize conv layers in backward (jax.checkpoint — trade FLOPs
+    # for activation memory on big graphs)
+    remat: bool = False
 
     @classmethod
     def medium(cls, hidden, out, **kw):
@@ -118,6 +121,7 @@ class SGFormer(nn.Module):
             axis_name=cfg.axis_name,
             kernel=cfg.attention_kernel,
             impl=cfg.attention_impl,
+            remat=cfg.remat,
         )
         if cfg.gnn == "graphconv":
             self.graph_conv = GraphConv(
@@ -130,6 +134,7 @@ class SGFormer(nn.Module):
                 use_init=cfg.gnn_use_init,
                 use_act=cfg.gnn_use_act,
                 axis_name=cfg.axis_name,
+                remat=cfg.remat,
             )
         elif cfg.gnn == "gcn":
             self.gcn = GCN(

@@ -121,6 +121,9 @@ class TransConv(nn.Module):
     axis_name: Optional[str] = None
     kernel: str = "simple"
     impl: str = "xla"
+    # rematerialize each attention layer in backward (trade FLOPs for
+    # activation memory on big graphs)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -137,8 +140,13 @@ class TransConv(nn.Module):
 
         prev = x
         attns = []
+        layer_cls = (
+            nn.remat(TransConvLayer, static_argnums=(3,))
+            if self.remat and not output_attn
+            else TransConvLayer
+        )
         for i in range(self.num_layers):
-            conv = TransConvLayer(
+            conv = layer_cls(
                 self.hidden_channels,
                 num_heads=self.num_heads,
                 use_weight=self.use_weight,
@@ -148,10 +156,10 @@ class TransConv(nn.Module):
                 name=f"conv_{i}",
             )
             if output_attn:
-                x, attn = conv(x, x, output_attn=True, node_mask=node_mask)
+                x, attn = conv(x, x, True, node_mask)
                 attns.append(attn)
             else:
-                x = conv(x, x, node_mask=node_mask)
+                x = conv(x, x, False, node_mask)
             if self.use_residual:
                 if self.residual_mode == "alpha":
                     x = self.alpha * x + (1.0 - self.alpha) * prev

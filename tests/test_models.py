@@ -158,3 +158,67 @@ def test_sgformer_attention_maps(small_graph):
         variables, jnp.asarray(x), method=SGFormer.get_attentions
     )
     assert attns.shape == (2, x.shape[0], x.shape[0])
+
+
+def test_sgformer_remat_matches_plain(small_graph):
+    """remat trades FLOPs for memory without changing values or grads."""
+    g, x = small_graph
+    cfg = SGFormerConfig(16, 5, gnn="graphconv", trans_dropout=0.0,
+                         gnn_dropout=0.0)
+    cfg_r = SGFormerConfig(16, 5, gnn="graphconv", trans_dropout=0.0,
+                           gnn_dropout=0.0, remat=True)
+    model, model_r = SGFormer(cfg), SGFormer(cfg_r)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), g,
+                           train=False)
+    out = model.apply(variables, jnp.asarray(x), g, train=False)
+    out_r = model_r.apply(variables, jnp.asarray(x), g, train=False)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(m, p):
+        logits, _ = m.apply(
+            {"params": p, **{k: v for k, v in variables.items()
+                             if k != "params"}},
+            jnp.asarray(x), g, train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"],
+        )
+        return (logits ** 2).mean()
+
+    gw = jax.grad(lambda p: loss(model, p))(variables["params"])
+    gr = jax.grad(lambda p: loss(model_r, p))(variables["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(gw),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_sgformer_remat_with_pallas_chunks(small_graph):
+    """remat composes with the chunked (pallas) aggregation path — the
+    kernels' custom_vjps take the plan as an argument, not a closure, so
+    re-tracing transforms don't leak tracers."""
+    import reference_numpy as _ref
+
+    rng = np.random.default_rng(21)
+    n = 80
+    edge_index = _ref.random_graph(rng, n, 400)
+    g = preprocess_graph(edge_index, n, with_chunks=True, chunk_edges=128,
+                         window_rows=64, chunk_dtype="f32",
+                         chunk_interpret=True)
+    x = jnp.asarray(rng.standard_normal((n, 12)).astype(np.float32))
+    cfg = SGFormerConfig(16, 4, gnn="graphconv", remat=True,
+                         trans_dropout=0.0, gnn_dropout=0.0)
+    model = SGFormer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), x, g, train=False)
+
+    def loss(p):
+        logits, _ = model.apply(
+            {"params": p, **{k: v for k, v in variables.items()
+                             if k != "params"}},
+            x, g, train=True,
+            rngs={"dropout": jax.random.PRNGKey(1)}, mutable=["batch_stats"],
+        )
+        return (logits ** 2).mean()
+
+    grads = jax.jit(jax.grad(loss))(variables["params"])
+    assert all(np.all(np.isfinite(np.asarray(l)))
+               for l in jax.tree_util.tree_leaves(grads))
