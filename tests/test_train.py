@@ -120,3 +120,28 @@ def test_dual_weight_decay_param_groups():
     assert any(leaves_t) and any(leaves_g)
     # masks are complementary
     assert all(a != b for a, b in zip(leaves_t, leaves_g))
+
+
+def test_training_is_deterministic():
+    """Same seed → bit-identical training trajectory (the reference seeds
+    once globally and drifts across runs, SURVEY §8; jax PRNG threading
+    makes determinism exact)."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train import TrainConfig, Trainer
+
+    ds = synthetic_dataset(num_nodes=150, num_edges=900, num_features=8,
+                           num_classes=3, seed=0)
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+
+    def run():
+        model = SGFormer(SGFormerConfig.large(16, 3))
+        tc = TrainConfig(lr=0.01, epochs=5, eval_step=1, seed=7,
+                         display_step=-1)
+        trainer = Trainer(model, g, ds.graph["node_feat"], ds.label, tc)
+        return trainer.fit([split]).results[0]
+
+    a, b = run(), run()
+    assert a == b  # exact equality, every epoch's metrics
