@@ -102,13 +102,17 @@ def build_dp_sp_batch(
 
 
 def make_dp_sp_train_step(
-    model, tx, mesh, dp_axis: str = "dp", sp_axis: str = "sp", loss: str = "nll"
+    model, tx, mesh, dp_axis: str = "dp", sp_axis: str = "sp",
+    loss: str = "nll", donate: bool = True,
 ):
     """shard_map'd step over a 2-D (dp, sp) mesh.
 
     Inputs (leading [dp, sp] or [dp, N_pad] dims): x [dp, N_pad, F] sharded
     P(dp, sp·…) via node blocks, graph (stacked ShardGraph), label
     [dp, N_pad], train/node masks [dp, N_pad].
+
+    ``donate`` donates params/batch_stats/opt_state (in-place Adam update);
+    disable only when the caller reuses pre-step state buffers.
     """
     rep = P()
     gspec = P(dp_axis, sp_axis)
@@ -163,5 +167,6 @@ def make_dp_sp_train_step(
             in_specs=(rep, rep, rep, rep, nmat, gspec, nvec, nvec, nvec),
             out_specs=(rep, rep, rep, rep),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0, 1, 2) if donate else (),
     )

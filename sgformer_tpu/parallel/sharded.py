@@ -33,12 +33,21 @@ from sgformer_tpu.parallel.partition import (
 from sgformer_tpu.train.trainer import Trainer
 
 
-def make_sharded_steps(model, tx, mesh, axis_name: str = "sp", loss: str = "nll"):
+def make_sharded_steps(
+    model, tx, mesh, axis_name: str = "sp", loss: str = "nll",
+    donate: bool = True,
+):
     """Build (train_step, eval_step) shard_map'd over ``mesh[axis_name]``.
 
     train_step(state, opt_state, rng, train_mask, x, graph, label, node_mask)
       -> (state, opt_state, loss)
     eval_step(state, x, graph, node_mask) -> [total_nodes, C] logits
+
+    ``donate`` (default on) donates params/batch_stats/opt_state into the
+    step — the training loop threads fresh state through every call, so XLA
+    updates Adam moments and params in place instead of doubling their HBM
+    footprint.  Pass ``donate=False`` only if the caller must reuse the
+    pre-step state buffers afterwards (equality tests do).
     """
     rep = P()
     nvec = P(axis_name)
@@ -88,7 +97,8 @@ def make_sharded_steps(model, tx, mesh, axis_name: str = "sp", loss: str = "nll"
             in_specs=(rep, rep, rep, rep, nvec, nmat, nvec, label_spec, nvec),
             out_specs=(rep, rep, rep, rep),
             check_vma=False,
-        )
+        ),
+        donate_argnums=(0, 1, 2) if donate else (),
     )
 
     def eval_core(params, batch_stats, x, g, node_mask):

@@ -53,12 +53,6 @@ def test_dp_sp_step_matches_single_device_subgraph():
     tx = dual_weight_decay_adam(params0, 0.01, 1e-3, 1e-3)
     opt0 = tx.init(params0)
 
-    step = make_dp_sp_train_step(model, tx, mesh)
-    params1, bs1, opt1, loss_sp = step(
-        params0, bs0, opt0, jax.random.PRNGKey(1), x, graph, label, tmask,
-        jnp.asarray(nmask),
-    )
-
     # single-device reference: mean loss over BOTH subgraph batches
     def loss_fn(p):
         total = cnt = 0.0
@@ -78,7 +72,6 @@ def test_dp_sp_step_matches_single_device_subgraph():
         return total / cnt
 
     loss_ref, grads_ref = jax.value_and_grad(loss_fn)(params0)
-    assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
 
     # grads from the sharded step: recompute via a grad-only shard_map
     def grad_core(p, bs, x, g, label, tmask, nmask):
@@ -113,6 +106,14 @@ def test_dp_sp_step_matches_single_device_subgraph():
                     jax.tree_util.tree_leaves(grads_sp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+    # Donating step runs last: params0/bs0/opt0 are consumed by it.
+    step = make_dp_sp_train_step(model, tx, mesh)
+    params1, bs1, opt1, loss_sp = step(
+        params0, bs0, opt0, jax.random.PRNGKey(1), x, graph, label, tmask,
+        jnp.asarray(nmask),
+    )
+    assert np.allclose(float(loss_sp), float(loss_ref), rtol=1e-5)
 
 
 def test_dp_sp_training_converges():

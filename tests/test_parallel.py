@@ -121,18 +121,10 @@ def test_sharded_train_step_matches_single(problem):
     lab_pad = jnp.asarray(
         pad_to_shards(np.asarray(label).reshape(-1).astype(np.int32), sg.total_nodes)
     )
-    train_step, _ = make_sharded_steps(model_sp, tx, mesh, "sp")
-    params2, bs2, opt2, loss2 = train_step(
-        params0, bs0, opt0, jax.random.PRNGKey(0), tmask, x_pad, sg, lab_pad, nmask
-    )
-
-    assert np.allclose(float(loss1), float(loss2), rtol=1e-5)
-    for a, b in zip(jax.tree_util.tree_leaves(bs1), jax.tree_util.tree_leaves(bs2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5)
-
     # Gradients must match (Adam at step 1 maps any near-zero grad element to
     # ±lr, so post-update params are NOT a stable comparison target — the
-    # grads and the loss are).
+    # grads and the loss are).  Computed BEFORE the train step because the
+    # step donates params0/bs0/opt0 (the production configuration).
     def grad_core(p, bs, rng, tm, xp, gg, lb, nm):
         gg = gg.local()
 
@@ -163,6 +155,16 @@ def test_sharded_train_step_matches_single(problem):
         jax.tree_util.tree_leaves(grads1), jax.tree_util.tree_leaves(grads2)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+    # Donating train step (params0/bs0/opt0 are consumed here — last use).
+    train_step, _ = make_sharded_steps(model_sp, tx, mesh, "sp")
+    params2, bs2, opt2, loss2 = train_step(
+        params0, bs0, opt0, jax.random.PRNGKey(0), tmask, x_pad, sg, lab_pad, nmask
+    )
+
+    assert np.allclose(float(loss1), float(loss2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs1), jax.tree_util.tree_leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-5)
 
 
 def test_sharded_trainer_learns(problem):
