@@ -122,10 +122,13 @@ def main(argv=None):
     ) or (args.method in ("sgformer", "ours") and args.backbone == "gcn")
 
     if args.trainer in ("full", "sharded"):
+        import jax
+
         graph = preprocess_graph(
             ds.graph["edge_index"], n, undirected=undirected,
             with_pyg_norm=needs_pyg, with_chunks=args.use_pallas,
-            chunk_dtype=args.chunk_dtype,
+            chunk_dtype=args.chunk_dtype, spmm_mode=args.spmm_mode,
+            chunk_interpret=jax.default_backend() not in ("tpu",),
         )
         model_kwargs = {}
         if args.method == "h2gcn":
@@ -219,6 +222,26 @@ def main(argv=None):
 
     logger = trainer.fit(splits)
     stats = logger.print_statistics()
+
+    if args.save_attn:
+        # materialized [L, N, N] maps (SGFormer.get_attentions /
+        # DIFFormer.get_attentions); O(N^2) -> small graphs only
+        import jax
+
+        state = trainer.final_state
+        attn = jax.jit(
+            lambda v, xx: trainer.model.apply(v, xx, method="get_attentions")
+        )(
+            {"params": state["params"],
+             "batch_stats": state.get("batch_stats", {})},
+            trainer.x,
+        )
+        os.makedirs(args.attn_dir, exist_ok=True)
+        attn_path = os.path.join(
+            args.attn_dir, f"{args.dataset}_{args.method}_attn.npy"
+        )
+        np.save(attn_path, np.asarray(attn))
+        print(f"attention maps -> {attn_path}")
 
     if args.save_result and stats:
         os.makedirs(args.result_dir, exist_ok=True)

@@ -97,6 +97,10 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
                              "instead of full activation all_gather")
     parser.add_argument("--chunk_dtype", type=str, default="bf16",
                         choices=["bf16", "f32"])
+    parser.add_argument("--spmm_mode", type=str, default="chunks",
+                        choices=["chunks", "slab"],
+                        help="'slab': clustering reorder + gather-free "
+                             "VMEM-slab SpMM kernel (full-graph trainers)")
     # checkpointing (100M/parse.py flags)
     parser.add_argument("--save_model", action="store_true")
     parser.add_argument("--use_pretrained", action="store_true")
@@ -109,6 +113,12 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
                         help="write a jax.profiler trace during --time_test")
     parser.add_argument("--save_result", action="store_true")
     parser.add_argument("--result_dir", type=str, default="results/")
+    # attention-map dump (medium/ours.py:162-177 get_attentions; the
+    # reference implements the method but never plumbs it to a CLI)
+    parser.add_argument("--save_attn", action="store_true",
+                        help="dump [L,N,N] attention maps after training"
+                             " (small graphs only)")
+    parser.add_argument("--attn_dir", type=str, default="results/attn/")
     return parser
 
 

@@ -11,7 +11,12 @@ from sgformer_tpu.nn.nodeformer import (  # noqa: F401
     build_nodeformer_adjs,
 )
 from sgformer_tpu.nn.graphtrans import GraphTrans  # noqa: F401
-from sgformer_tpu.nn.graphormer import Graphormer, graphormer_inputs  # noqa: F401
+from sgformer_tpu.nn.graphormer import (  # noqa: F401
+    Graphormer,
+    QuantNoiseLinear,
+    collate_graphs,
+    graphormer_inputs,
+)
 from sgformer_tpu.nn.graphgps import GraphGPS  # noqa: F401
 from sgformer_tpu.nn.baselines import (  # noqa: F401
     APPNP,

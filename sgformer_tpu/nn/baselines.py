@@ -454,31 +454,51 @@ class H2GCN(nn.Module):
 
 
 class MultiLP:
-    """large/gnns.py:312-363: multi-hop label propagation (parameter-free).
-    ``predict`` clamps train labels and iterates z ← A^hops z."""
+    """large/gnns.py:312-363: multi-hop label propagation (parameter-free):
+    seed y from train labels, iterate ``z ← α·A^hops z + (1-α)·y`` (no
+    clipping or re-clamping — the reference keeps the plain damped
+    iteration).  ``mult_bin`` handles multiple binary tasks
+    (``gnns.py:343-360``): each task gets its own 2-way one-hot pair and
+    the positive-class column is read back out.  Seeding rules mirror the
+    reference: [N,1] int labels → one-hot; multilabel float → used as-is."""
 
-    def __init__(self, out_channels, alpha=0.5, hops=2, num_iters=50):
+    def __init__(self, out_channels, alpha=0.5, hops=2, num_iters=50,
+                 mult_bin=False):
         self.out_channels = out_channels
         self.alpha = alpha
         self.hops = hops
         self.num_iters = num_iters
+        self.mult_bin = mult_bin
 
     def predict(self, graph, label, train_idx):
         import numpy as np
 
         n = graph.num_nodes
-        label = np.asarray(label).reshape(-1)
-        y = jnp.zeros((n, self.out_channels))
+        label = np.asarray(label)
         train_idx = jnp.asarray(np.asarray(train_idx))
-        onehot = jax.nn.one_hot(
-            jnp.asarray(label[np.asarray(train_idx)]), self.out_channels
-        )
-        y = y.at[train_idx].set(onehot)
+        tr = np.asarray(train_idx)
+        if label.ndim == 1 or label.shape[1] == 1:
+            onehot = jax.nn.one_hot(
+                jnp.asarray(label.reshape(-1)[tr]), self.out_channels
+            )
+            y = jnp.zeros((n, self.out_channels)).at[train_idx].set(onehot)
+        elif self.mult_bin:
+            cols = []
+            for task in range(label.shape[1]):
+                cols.append(jax.nn.one_hot(jnp.asarray(label[tr, task]), 2))
+            y = jnp.zeros((n, 2 * label.shape[1])).at[train_idx].set(
+                jnp.concatenate(cols, axis=1)
+            )
+        else:
+            y = jnp.zeros((n, self.out_channels)).at[train_idx].set(
+                jnp.asarray(label[tr], dtype=jnp.float32)
+            )
         z = y
         for _ in range(self.num_iters):
             for _ in range(self.hops):
                 z = graph.propagate(z, kind="gcn")
             z = self.alpha * z + (1 - self.alpha) * y
-            z = jnp.clip(z, 0.0, 1.0)
-            z = z.at[train_idx].set(onehot)
+        if self.mult_bin and label.ndim > 1 and label.shape[1] > 1:
+            # read back each task's positive-class column (gnns.py:356-360)
+            z = z[:, 1::2]
         return z

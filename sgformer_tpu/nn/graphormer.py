@@ -31,6 +31,55 @@ from flax import linen as nn
 from sgformer_tpu.nn.layers import TorchLinear
 
 
+class QuantNoiseLinear(nn.Module):
+    """Linear with fairseq ``quant_noise`` block dropout on the weight
+    (``/root/reference/medium/graphormer.py:416-470``): at train time,
+    random ``block_size``-column blocks of the weight are zeroed and the
+    survivors scaled by ``1/(1-p)`` — the iPQ "training with quantization
+    noise" regularizer.  ``p=0`` degrades to a plain :class:`TorchLinear`.
+    Applied to the attention q/k/v/out projections as in the reference
+    (``graphormer.py:177-187``)."""
+
+    features: int
+    p: float = 0.0
+    block_size: int = 8
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        from sgformer_tpu.nn.layers import _torch_linear_kernel_init
+
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel", _torch_linear_kernel_init, (in_features, self.features)
+        )
+        if self.p > 0.0 and train:
+            assert in_features % self.block_size == 0, (
+                "in_features must be a multiple of qn_block_size"
+            )
+            rng = self.make_rng("quant_noise")
+            nblocks = in_features // self.block_size
+            drop = jax.random.bernoulli(
+                rng, self.p, (nblocks, 1, self.features)
+            )
+            mask = jnp.broadcast_to(
+                drop, (nblocks, self.block_size, self.features)
+            ).reshape(in_features, self.features)
+            kernel = jnp.where(mask, 0.0, kernel) / (1.0 - self.p)
+        y = x @ kernel.astype(x.dtype)
+        if self.use_bias:
+            bound = 1.0 / math.sqrt(in_features)
+            bias = self.param(
+                "bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -bound, bound
+                ),
+                (self.features,),
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 def convert_to_single_emb(x: np.ndarray, offset: int = 512) -> np.ndarray:
     """``medium/data_utils.py:201-209``: shift each feature column into its
     own ``offset``-sized vocabulary slice (+1 keeps 0 as padding)."""
@@ -78,33 +127,45 @@ def graphormer_inputs(
 
 
 class GraphormerLayer(nn.Module):
-    """Pre-LN encoder layer (``graphormer.py:521-644``)."""
+    """Pre-LN encoder layer (``graphormer.py:521-644``).  q/k/v/out run
+    through :class:`QuantNoiseLinear` as in the reference MultiheadAttention
+    (``graphormer.py:177-187``); ``q_noise=0`` is an exact plain Linear."""
 
     dim: int
     heads: int
     ffn_dim: int
     dropout: float = 0.0
     attn_dropout: float = 0.0
+    q_noise: float = 0.0
+    qn_block_size: int = 8
 
     @nn.compact
     def __call__(self, x, attn_bias, *, train: bool):
         drop = nn.Dropout(self.dropout, deterministic=not train)
         h = nn.LayerNorm(epsilon=1e-5, name="attn_ln")(x)
         H, D = self.heads, self.dim // self.heads
-        q = TorchLinear(self.dim, name="q")(h).reshape(-1, H, D)
-        k = TorchLinear(self.dim, name="k")(h).reshape(-1, H, D)
-        v = TorchLinear(self.dim, name="v")(h).reshape(-1, H, D)
+        qn = dict(p=self.q_noise, block_size=self.qn_block_size)
+        lead = h.shape[:-1]  # (N+1,) single graph or (G, N+1) padded batch
+        q = QuantNoiseLinear(self.dim, name="q", **qn)(h, train=train)
+        q = q.reshape(*lead, H, D)
+        k = QuantNoiseLinear(self.dim, name="k", **qn)(h, train=train)
+        k = k.reshape(*lead, H, D)
+        v = QuantNoiseLinear(self.dim, name="v", **qn)(h, train=train)
+        v = v.reshape(*lead, H, D)
         scores = (
-            jnp.einsum("nhd,mhd->hnm", q, k, preferred_element_type=jnp.float32)
+            jnp.einsum("...nhd,...mhd->...hnm", q, k,
+                       preferred_element_type=jnp.float32)
             / math.sqrt(D)
         )
         scores = scores + attn_bias
         w = jax.nn.softmax(scores, axis=-1)
         w = nn.Dropout(self.attn_dropout, deterministic=not train)(w)
         attn = jnp.einsum(
-            "hnm,mhd->nhd", w, v, preferred_element_type=jnp.float32
+            "...hnm,...mhd->...nhd", w, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)
-        attn = TorchLinear(self.dim, name="out")(attn.reshape(-1, self.dim))
+        attn = QuantNoiseLinear(self.dim, name="out", **qn)(
+            attn.reshape(*lead, self.dim), train=train
+        )
         x = x + drop(attn)
         h = nn.LayerNorm(epsilon=1e-5, name="ffn_ln")(x)
         h = nn.gelu(TorchLinear(self.ffn_dim, name="fc1")(h))
@@ -115,7 +176,28 @@ class GraphormerLayer(nn.Module):
 
 class Graphormer(nn.Module):
     """``graphormer.py:954-1041`` — returns [N, C] logits (graph token
-    dropped)."""
+    dropped).
+
+    Parity knobs beyond the round-1 core:
+
+    - ``layerdrop``: fairseq LayerDrop (``graphormer.py:665-696``) — each
+      encoder layer is skipped with prob p per training forward (rng
+      collection ``"layerdrop"``); eval always runs every layer.
+    - ``q_noise``/``qn_block_size``: quantization-noise block dropout on
+      the attention projections (``graphormer.py:416-470,177-187``).
+    - ``use_edge_bias``: per-head edge-feature attention bias from
+      ``inputs['attn_edge_type']`` [N, N, Fe] (mean over feature columns).
+      The reference keeps its edge-feature path commented out
+      (``graphormer.py:109-111``, ``data_utils.py:254-259``), so this is
+      off by default.
+    - ``use_virtual_distance``: the reference DEFINES
+      ``graph_token_virtual_distance`` (``graphormer.py:94``) but never
+      applies it in forward — opt-in here applies the upstream semantics
+      (learned per-head bias on the graph-token row/column).
+    - ``inputs['attn_bias']`` (optional [N+1, N+1]): additive base bias —
+      the collated multi-graph path uses -inf padding columns here
+      (``data_utils.py:218-226``).
+    """
 
     out_channels: int
     embed_dim: int = 64
@@ -127,6 +209,12 @@ class Graphormer(nn.Module):
     num_atoms: int = 512 * 9
     num_degree: int = 512
     num_spatial: int = 1024
+    num_edges: int = 512 * 3
+    layerdrop: float = 0.0
+    q_noise: float = 0.0
+    qn_block_size: int = 8
+    use_edge_bias: bool = False
+    use_virtual_distance: bool = False
 
     @nn.compact
     def __call__(self, x, graph=None, *, train: bool = False, node_mask=None,
@@ -150,24 +238,52 @@ class Graphormer(nn.Module):
         token = self.param(
             "graph_token", nn.initializers.normal(0.02), (1, dim)
         )
-        h = jnp.concatenate([token.astype(h.dtype), h], axis=0)  # [N+1, dim]
+        tok = jnp.broadcast_to(token.astype(h.dtype), (*h.shape[:-2], 1, dim))
+        h = jnp.concatenate([tok, h], axis=-2)  # [..., N+1, dim]
 
         # per-head spatial bias, zero row/col for the graph token
         sp = nn.Embed(self.num_spatial, self.num_heads, name="spatial_pos_encoder")(
             jnp.clip(jnp.asarray(inputs["spatial_pos"]), 0, self.num_spatial - 1)
-        )  # [N, N, H]
-        bias = jnp.transpose(sp, (2, 0, 1))  # [H, N, N]
-        bias = jnp.pad(bias, ((0, 0), (1, 0), (1, 0)))
+        )  # [..., N, N, H]
+        bias = jnp.moveaxis(sp, -1, -3)  # [..., H, N, N]
+        if self.use_edge_bias and inputs.get("attn_edge_type") is not None:
+            ed = nn.Embed(self.num_edges + 1, self.num_heads,
+                          name="edge_encoder")(
+                jnp.clip(jnp.asarray(inputs["attn_edge_type"]), 0,
+                         self.num_edges)
+            )  # [N, N, Fe, H]
+            bias = bias + jnp.moveaxis(ed.mean(axis=-2), -1, -3)
+        pad_spec = [(0, 0)] * (bias.ndim - 2) + [(1, 0), (1, 0)]
+        bias = jnp.pad(bias, pad_spec)
+        if self.use_virtual_distance:
+            t = self.param(
+                "graph_token_virtual_distance",
+                nn.initializers.normal(0.02), (1, self.num_heads),
+            )[0]  # [H]
+            # graph token attends / is attended with a learned distance
+            bias = bias.at[..., 1:, 0].add(t[:, None])
+            bias = bias.at[..., 0, :].add(t[:, None])
+        if inputs.get("attn_bias") is not None:
+            base = jnp.asarray(inputs["attn_bias"])  # [..., N+1, N+1]
+            bias = bias + base[..., None, :, :]
 
+        if self.layerdrop > 0.0 and train:
+            keep = jax.random.uniform(
+                self.make_rng("layerdrop"), (self.num_layers,)
+            ) > self.layerdrop
+        else:
+            keep = None
         for i in range(self.num_layers):
-            h = GraphormerLayer(
+            h_new = GraphormerLayer(
                 dim, self.num_heads, ffn, dropout=self.dropout,
-                attn_dropout=self.attn_dropout, name=f"layer_{i}",
+                attn_dropout=self.attn_dropout, q_noise=self.q_noise,
+                qn_block_size=self.qn_block_size, name=f"layer_{i}",
             )(h, bias, train=train)
+            h = h_new if keep is None else jnp.where(keep[i], h_new, h)
 
         # output head (graphormer.py:1018-1041): LN(gelu(Wx)) → vocab
         # projection + learned scalar bias → fc
-        h = h[1:]  # drop graph token
+        h = h[..., 1:, :]  # drop graph token
         h = nn.LayerNorm(epsilon=1e-5, name="head_ln")(
             nn.gelu(TorchLinear(dim, name="lm_head_transform")(h))
         )
@@ -175,3 +291,50 @@ class Graphormer(nn.Module):
         lm_bias = self.param("lm_output_learned_bias", nn.initializers.zeros, (1,))
         h = h + lm_bias
         return TorchLinear(self.out_channels, name="fc")(h)
+
+
+def collate_graphs(graphs: list, max_nodes: Optional[int] = None) -> dict:
+    """Pad + stack per-graph Graphormer inputs into one [G, Nmax, ...]
+    batch — the reference's collator helpers re-done in numpy
+    (``/root/reference/medium/data_utils.py:200-242``):
+
+    - integer ids get the +1 shift so 0 is the pad id (``pad_1d/2d/
+      spatial_pos_unsqueeze``);
+    - ``attn_bias`` [Nmax+1, Nmax+1] carries ``-inf`` on PAD KEY columns
+      (``pad_attn_bias_unsqueeze``: pad filled -inf, then rows >= n zeroed
+      over real columns), which masks padding out of every softmax;
+    - the medium tier never invokes these helpers (node-level tasks);
+      they exist for graph-level batching — capability parity here.
+
+    ``graphs``: list of dicts from :func:`graphormer_inputs`.  Returns the
+    stacked inputs dict (feed to ``Graphormer(...)(..., inputs=batch)``)
+    plus ``num_nodes`` [G] and ``node_mask`` [G, Nmax].
+    """
+    sizes = [g["x"].shape[0] for g in graphs]
+    n_max = max_nodes if max_nodes is not None else max(sizes)
+    assert all(s <= n_max for s in sizes)
+    G = len(graphs)
+    fdim = graphs[0]["x"].shape[1]
+    x = np.zeros((G, n_max, fdim), dtype=np.int64)
+    in_deg = np.zeros((G, n_max), dtype=np.int64)
+    out_deg = np.zeros((G, n_max), dtype=np.int64)
+    spatial = np.zeros((G, n_max, n_max), dtype=np.int64)
+    attn_bias = np.full((G, n_max + 1, n_max + 1), -np.inf, dtype=np.float32)
+    mask = np.zeros((G, n_max), dtype=np.float32)
+    for i, (g, n) in enumerate(zip(graphs, sizes)):
+        x[i, :n] = g["x"] + 1
+        in_deg[i, :n] = g["in_degree"] + 1
+        out_deg[i, :n] = g["out_degree"] + 1
+        spatial[i, :n, :n] = g["spatial_pos"] + 1
+        attn_bias[i, : n + 1, : n + 1] = 0.0
+        attn_bias[i, n + 1:, : n + 1] = 0.0  # pad QUERY rows see real keys
+        mask[i, :n] = 1.0
+    return {
+        "x": x,
+        "in_degree": in_deg,
+        "out_degree": out_deg,
+        "spatial_pos": spatial,
+        "attn_bias": attn_bias,
+        "num_nodes": np.asarray(sizes, dtype=np.int64),
+        "node_mask": mask,
+    }

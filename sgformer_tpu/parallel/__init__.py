@@ -10,7 +10,12 @@ BatchNorm statistics are psum'd.  Gradients of the replicated parameters
 are psum'd once per step.
 """
 
-from sgformer_tpu.parallel.mesh import make_mesh  # noqa: F401
+from sgformer_tpu.parallel.mesh import (  # noqa: F401
+    feed_process_local,
+    init_distributed,
+    make_global_mesh,
+    make_mesh,
+)
 from sgformer_tpu.parallel.partition import (  # noqa: F401
     ShardGraph,
     partition_graph,

@@ -85,10 +85,23 @@ class Trainer:
         self.model = model
         self.model_kwargs = model_kwargs or {}
         self.graph = graph
-        self.x = jnp.asarray(x)
         self.config = config
         self.eval_func = eval_func or METRICS[config.metric]
         label = np.asarray(label)
+        # Slab-mode graphs carry a clustering reorder (graph.node_perm):
+        # permute node-indexed data into the new order once, and map every
+        # split index through the inverse.  Metrics/logits stay consistent
+        # because labels and indices move together.
+        perm = getattr(graph, "node_perm", None)
+        if perm is not None:
+            perm = np.asarray(perm)
+            x = np.asarray(x)[perm]
+            label = label[perm]
+            self._inv_perm = np.empty(len(perm), dtype=np.int64)
+            self._inv_perm[perm] = np.arange(len(perm))
+        else:
+            self._inv_perm = None
+        self.x = jnp.asarray(x)
         self.label_np = label
         if config.loss == "bce" and label.shape[1] == 1:
             n_cls = int(label.max()) + 1
@@ -169,14 +182,20 @@ class Trainer:
 
     # -- evaluation ----------------------------------------------------------
 
+    def _map_idx(self, idx):
+        """Original-id split indices -> the graph's (possibly reordered)
+        node space."""
+        idx = np.asarray(idx)
+        return idx if self._inv_perm is None else self._inv_perm[idx]
+
     def evaluate(self, out: np.ndarray, split_idx: dict) -> tuple:
         """Host-side metric computation mirroring ``large/eval.py:7-33``."""
         res = []
         for split in ("train", "valid", "test"):
-            idx = split_idx[split]
+            idx = self._map_idx(split_idx[split])
             res.append(self.eval_func(self.label_np[idx], out[idx]))
         # valid loss
-        vidx = split_idx["valid"]
+        vidx = self._map_idx(split_idx["valid"])
         logits = out[vidx]
         if self.config.loss == "bce":
             lab = np.asarray(self.label_onehot)[vidx]
@@ -193,7 +212,9 @@ class Trainer:
     def _prepare_train_idx(self, split_idx):
         """What the jitted train step receives for the train split; the
         sharded trainer overrides this to a padded node mask."""
-        return jnp.asarray(np.asarray(split_idx["train"], dtype=np.int32))
+        return jnp.asarray(
+            self._map_idx(split_idx["train"]).astype(np.int32)
+        )
 
     # -- main loop -----------------------------------------------------------
 
@@ -239,6 +260,9 @@ class Trainer:
                                 break
             if cfg.display_step >= 0:
                 logger.print_statistics(run)
+            # final model state of the last run, for post-hoc analysis
+            # (attention-map dumps, checkpointing from the CLI)
+            self.final_state = state
         return logger
 
 

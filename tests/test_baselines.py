@@ -198,3 +198,20 @@ def test_gat_chunked_matches_xla(problem):
                     jax.tree_util.tree_leaves(gc)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_multilp_mult_bin(problem):
+    """mult_bin: per-task 2-way propagation, positive column read-out
+    (large/gnns.py:343-360)."""
+    g, x, label, _ = problem
+    rng = np.random.default_rng(4)
+    multi = rng.integers(0, 2, (g.num_nodes, 3))
+    train_idx = np.arange(0, g.num_nodes, 2)
+    lp = MultiLP(3, alpha=0.5, hops=1, num_iters=10, mult_bin=True)
+    out = np.asarray(lp.predict(g, multi, train_idx))
+    assert out.shape == (g.num_nodes, 3)
+    assert np.isfinite(out).all()
+    # positive columns correlate with the seeded labels on train nodes
+    acc = ((out[train_idx] > out[train_idx].mean()) ==
+           (multi[train_idx] > 0)).mean()
+    assert acc > 0.6

@@ -95,3 +95,33 @@ def test_cli_sharded_with_halo():
         "--backbone", "graphconv",
     ])
     assert logger.results[0]
+
+
+def test_cli_save_attn(tmp_path):
+    """--save_attn dumps [L, N, N] maps (the CLI plumbing the reference
+    lacks for medium/ours.py:162-177)."""
+    import numpy as np
+
+    main([
+        "--dataset", "synth-n80-e600-f8-c4", "--method", "sgformer",
+        "--trainer", "full", "--hidden_channels", "16", "--epochs", "2",
+        "--runs", "1", "--rand_split", "--display_step", "-1",
+        "--trans_num_layers", "2",
+        "--save_attn", "--attn_dir", str(tmp_path),
+    ])
+    files = list(tmp_path.iterdir())
+    assert len(files) == 1
+    attn = np.load(files[0])
+    assert attn.shape == (2, 80, 80)
+    assert np.isfinite(attn).all()
+
+
+def test_cli_slab_mode(tmp_path):
+    """--spmm_mode slab: clustering reorder + slab kernel end-to-end."""
+    logger = main([
+        "--dataset", "synth-n300-e2000-f8-c4", "--method", "sgformer",
+        "--trainer", "full", "--hidden_channels", "16", "--epochs", "3",
+        "--runs", "1", "--rand_split", "--display_step", "-1",
+        "--use_pallas", "--spmm_mode", "slab", "--chunk_dtype", "f32",
+    ])
+    assert logger.results[0]

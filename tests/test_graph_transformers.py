@@ -174,3 +174,94 @@ def test_nodeformer_jk(problem):
                            train=False, adjs=adjs)
     out, _ = model.apply(variables, jnp.asarray(x), g, train=False, adjs=adjs)
     assert out.shape == (N, C)
+
+
+def test_graphormer_layerdrop_and_quant_noise(problem):
+    """LayerDrop skips layers stochastically at train time only; quant
+    noise perturbs train-time outputs; eval is unaffected by both."""
+    from sgformer_tpu.nn import Graphormer, graphormer_inputs
+
+    g, x, label, edge_index = problem
+    inputs = graphormer_inputs(edge_index, (x > 0).astype(np.int64), N)
+    base = Graphormer(C, embed_dim=32, num_layers=2, num_heads=2)
+    reg = Graphormer(C, embed_dim=32, num_layers=2, num_heads=2,
+                     layerdrop=0.5, q_noise=0.3, qn_block_size=8)
+    variables = base.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), g, train=False, inputs=inputs
+    )
+    # eval: regularizers off -> identical to the plain model
+    out_base = base.apply(variables, jnp.asarray(x), g, train=False,
+                          inputs=inputs)
+    out_reg = reg.apply(variables, jnp.asarray(x), g, train=False,
+                        inputs=inputs)
+    np.testing.assert_allclose(np.asarray(out_base), np.asarray(out_reg),
+                               rtol=1e-6)
+    # train: two rngs give different outputs (stochastic regularization)
+    outs = [
+        np.asarray(reg.apply(
+            variables, jnp.asarray(x), g, train=True, inputs=inputs,
+            rngs={"dropout": jax.random.PRNGKey(s),
+                  "layerdrop": jax.random.PRNGKey(100 + s),
+                  "quant_noise": jax.random.PRNGKey(200 + s)},
+        ))
+        for s in (0, 1)
+    ]
+    assert not np.allclose(outs[0], outs[1])
+    assert all(np.all(np.isfinite(o)) for o in outs)
+
+
+def test_graphormer_edge_bias_and_virtual_distance(problem):
+    from sgformer_tpu.nn import Graphormer, graphormer_inputs
+
+    g, x, label, edge_index = problem
+    inputs = dict(graphormer_inputs(edge_index, (x > 0).astype(np.int64), N))
+    # dense per-pair edge-type ids (0 = no edge), [N, N, 1]
+    aet = np.zeros((N, N, 1), dtype=np.int64)
+    src, dst = edge_index
+    aet[src, dst, 0] = 1 + (np.arange(len(src)) % 7)
+    inputs["attn_edge_type"] = aet
+    model = Graphormer(C, embed_dim=32, num_layers=1, num_heads=2,
+                       use_edge_bias=True, use_virtual_distance=True)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), g, train=False, inputs=inputs
+    )
+    assert "edge_encoder" in variables["params"]
+    assert "graph_token_virtual_distance" in variables["params"]
+    out = model.apply(variables, jnp.asarray(x), g, train=False, inputs=inputs)
+    assert out.shape == (N, C)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_graphormer_collated_batch_matches_unpadded(problem):
+    """Padded multi-graph batching: a graph's logits are identical whether
+    it is padded inside a mixed-size batch or batched alone unpadded
+    (the -inf attn_bias masks padding out of every softmax)."""
+    from sgformer_tpu.nn import Graphormer, graphormer_inputs
+    from sgformer_tpu.nn.graphormer import collate_graphs
+
+    g, x, label, edge_index = problem
+    rng = np.random.default_rng(3)
+    n1, n2 = 20, 13
+    e1 = ref.random_graph(rng, n1, 60)
+    e2 = ref.random_graph(rng, n2, 40)
+    f1 = (rng.standard_normal((n1, F)) > 0).astype(np.int64)
+    f2 = (rng.standard_normal((n2, F)) > 0).astype(np.int64)
+    g1 = graphormer_inputs(e1, f1, n1)
+    g2 = graphormer_inputs(e2, f2, n2)
+
+    batch = collate_graphs([g1, g2])
+    assert batch["x"].shape == (2, n1, F)
+    assert batch["node_mask"].sum() == n1 + n2
+
+    model = Graphormer(C, embed_dim=32, num_layers=2, num_heads=2)
+    variables = model.init(
+        jax.random.PRNGKey(0), None, None, train=False, inputs=batch
+    )
+    out = model.apply(variables, None, None, train=False, inputs=batch)
+    assert out.shape == (2, n1, C)
+
+    solo = collate_graphs([g2])  # n2-sized, no padding
+    out_solo = model.apply(variables, None, None, train=False, inputs=solo)
+    np.testing.assert_allclose(
+        np.asarray(out[1, :n2]), np.asarray(out_solo[0]), rtol=2e-4, atol=2e-5
+    )

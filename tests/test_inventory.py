@@ -41,6 +41,8 @@ COMPONENTS = [
     ("sgformer_tpu.nn", "GraphGPS"),
     ("sgformer_tpu.nn", "GraphTrans"),
     ("sgformer_tpu.nn", "Graphormer"),
+    ("sgformer_tpu.nn", "QuantNoiseLinear"),
+    ("sgformer_tpu.nn", "collate_graphs"),
     # §2.3 data / splits / metrics / logging
     ("sgformer_tpu.data", "NCDataset"),
     ("sgformer_tpu.data", "load_dataset"),
@@ -79,6 +81,9 @@ COMPONENTS = [
     ("sgformer_tpu.utils", "device_memory_stats"),
     # §2.5 parallelism (native here)
     ("sgformer_tpu.parallel", "make_mesh"),
+    ("sgformer_tpu.parallel", "make_global_mesh"),
+    ("sgformer_tpu.parallel", "init_distributed"),
+    ("sgformer_tpu.parallel", "feed_process_local"),
     ("sgformer_tpu.parallel", "partition_graph"),
     ("sgformer_tpu.parallel", "ShardedTrainer"),
     ("sgformer_tpu.parallel.dp_batch", "make_dp_sp_train_step"),
