@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <cmath>
 
 extern "C" {
 
@@ -107,6 +108,158 @@ int64_t sample_neighbors(const int64_t* indptr, const int64_t* indices,
     }
   }
   return n;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full-batch sampler: the ENTIRE per-batch pipeline of the sampled trainer
+// (multi-hop fanout sampling + local relabel + self-loops + dst sort +
+// gcn-norm weights + static-shape padding) in one call.  The round-1 layout
+// kept unique/relabel in numpy (~2.5 s/batch at fanout [15,10,5], batch
+// 1000); this replaces it wholesale.  Sampling is WITHOUT replacement per
+// (node, hop) — Floyd-style distinct draws — so no dedup pass exists at
+// all.  ctypes releases the GIL during the call, so a Python thread pool
+// runs batches concurrently (PyG gets the same effect from 12 worker
+// processes, 100M/nb-sample.py:131-132).
+// ---------------------------------------------------------------------------
+
+#include <vector>
+
+namespace {
+
+// open-addressing global->local node map (power-of-two capacity)
+struct NodeMap {
+  std::vector<int64_t> keys;
+  std::vector<int32_t> vals;
+  uint64_t mask;
+  explicit NodeMap(int64_t cap) {
+    uint64_t size = 16;
+    while (size < (uint64_t)cap * 2) size <<= 1;
+    keys.assign(size, -1);
+    vals.assign(size, -1);
+    mask = size - 1;
+  }
+  // returns local id, or -1 if absent and insert_id < 0
+  int32_t lookup_or_insert(int64_t g, int32_t insert_id) {
+    uint64_t h = ((uint64_t)g * 0x9e3779b97f4a7c15ULL) & mask;
+    while (true) {
+      if (keys[h] == g) return vals[h];
+      if (keys[h] == -1) {
+        if (insert_id < 0) return -1;
+        keys[h] = g;
+        vals[h] = insert_id;
+        return insert_id;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t sample_batch(const int64_t* indptr, const int64_t* indices,
+                     const int64_t* seeds, int64_t n_seeds,
+                     const int64_t* fanouts, int64_t n_hops,
+                     int64_t node_cap, int64_t edge_cap, uint64_t seed,
+                     int64_t* node_ids, int32_t* out_src, int32_t* out_dst,
+                     float* out_w, float* node_mask, int64_t* truncated) {
+  uint64_t s[2] = {seed ^ 0x9e3779b97f4a7c15ULL, seed | 1};
+  NodeMap map(node_cap);
+  std::vector<int64_t> nodes;
+  nodes.reserve(node_cap);
+  truncated[0] = truncated[1] = 0;
+
+  for (int64_t i = 0; i < n_seeds && (int64_t)nodes.size() < node_cap; ++i) {
+    if (map.lookup_or_insert(seeds[i], (int32_t)nodes.size()) ==
+        (int32_t)nodes.size())
+      nodes.push_back(seeds[i]);
+  }
+
+  std::vector<int32_t> e_src, e_dst;
+  e_src.reserve(edge_cap);
+  e_dst.reserve(edge_cap);
+  int64_t picks[64];  // fanout <= 64
+
+  int64_t f_lo = 0, f_hi = (int64_t)nodes.size();
+  for (int64_t hop = 0; hop < n_hops && f_lo < f_hi; ++hop) {
+    int64_t fanout = fanouts[hop];
+    if (fanout > 64) fanout = 64;
+    for (int64_t d = f_lo; d < f_hi; ++d) {
+      int64_t g = nodes[d];
+      int64_t lo = indptr[g], deg = indptr[g + 1] - lo;
+      int64_t k = deg < fanout ? deg : fanout;
+      if (k <= 0) continue;
+      if (deg <= fanout) {
+        for (int64_t j = 0; j < k; ++j) picks[j] = lo + j;
+      } else {
+        // Floyd's distinct sampling of k offsets from [0, deg)
+        for (int64_t j = 0; j < k; ++j) {
+          int64_t r = (int64_t)(xorshift(s) % (uint64_t)(deg - k + j + 1));
+          bool dup = false;
+          for (int64_t t = 0; t < j; ++t)
+            if (picks[t] == lo + r) { dup = true; break; }
+          picks[j] = lo + (dup ? deg - k + j : r);
+        }
+      }
+      for (int64_t j = 0; j < k; ++j) {
+        int64_t sg = indices[picks[j]];
+        int32_t sl = map.lookup_or_insert(
+            sg, (int64_t)nodes.size() < node_cap ? (int32_t)nodes.size()
+                                                 : -1);
+        if (sl < 0) {  // node cap hit: drop this edge
+          truncated[0] = 1;
+          continue;
+        }
+        if (sl == (int32_t)nodes.size()) nodes.push_back(sg);
+        e_src.push_back(sl);
+        e_dst.push_back((int32_t)d);
+      }
+    }
+    f_lo = f_hi;
+    f_hi = (int64_t)nodes.size();
+  }
+
+  int64_t n_real = (int64_t)nodes.size();
+  // self-loops on every real node (nb-sample.py:80 adds them globally)
+  for (int32_t v = 0; v < (int32_t)n_real; ++v) {
+    e_src.push_back(v);
+    e_dst.push_back(v);
+  }
+  int64_t e = (int64_t)e_src.size();
+  if (e > edge_cap) {
+    truncated[1] = 1;
+    e = edge_cap;
+  }
+
+  // counting sort by dst (stable) + in-degree for gcn norm
+  std::vector<int64_t> cnt(n_real + 1, 0);
+  for (int64_t i = 0; i < e; ++i) cnt[e_dst[i] + 1]++;
+  std::vector<float> dinv(n_real);
+  for (int64_t v = 0; v < n_real; ++v) {
+    int64_t deg = cnt[v + 1];
+    dinv[v] = deg > 0 ? 1.0f / std::sqrt((float)deg) : 0.0f;
+  }
+  for (int64_t v = 0; v < n_real; ++v) cnt[v + 1] += cnt[v];
+  for (int64_t i = 0; i < e; ++i) {
+    int64_t pos = cnt[e_dst[i]]++;
+    out_src[pos] = e_src[i];
+    out_dst[pos] = e_dst[i];
+    out_w[pos] = dinv[e_dst[i]] * dinv[e_src[i]];
+  }
+  // padding (matches the numpy sampler's conventions)
+  for (int64_t i = e; i < edge_cap; ++i) {
+    out_src[i] = 0;
+    out_dst[i] = (int32_t)(n_real > 0 ? n_real - 1 : 0);
+    out_w[i] = 0.0f;
+  }
+  for (int64_t i = 0; i < node_cap; ++i) {
+    node_ids[i] = i < n_real ? nodes[i] : 0;
+    node_mask[i] = i < n_real ? 1.0f : 0.0f;
+  }
+  return n_real;
 }
 
 }  // extern "C"

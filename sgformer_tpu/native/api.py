@@ -84,3 +84,51 @@ def sample_neighbors_native(
         )
     )
     return out_src[:n], out_dst[:n]
+
+
+def sample_batch_native(
+    indptr: np.ndarray,
+    indices: np.ndarray,
+    seeds: np.ndarray,
+    fanouts,
+    node_cap: int,
+    edge_cap: int,
+    seed: int,
+):
+    """C++ full-batch sampler (multi-hop sample + relabel + self-loops +
+    dst sort + gcn weights + padding); returns the filled arrays or None.
+    ctypes releases the GIL for the call, so batches parallelize across
+    Python threads."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    seeds = np.ascontiguousarray(seeds, dtype=np.int64)
+    fan = np.ascontiguousarray(fanouts, dtype=np.int64)
+    node_ids = np.empty(node_cap, dtype=np.int64)
+    src = np.empty(edge_cap, dtype=np.int32)
+    dst = np.empty(edge_cap, dtype=np.int32)
+    w = np.empty(edge_cap, dtype=np.float32)
+    mask = np.empty(node_cap, dtype=np.float32)
+    trunc = np.zeros(2, dtype=np.int64)
+    n_real = int(
+        lib.sample_batch(
+            _ptr(indptr, ctypes.c_int64),
+            _ptr(indices, ctypes.c_int64),
+            _ptr(seeds, ctypes.c_int64),
+            len(seeds),
+            _ptr(fan, ctypes.c_int64),
+            len(fan),
+            node_cap,
+            edge_cap,
+            ctypes.c_uint64(seed & (2**64 - 1)).value,
+            _ptr(node_ids, ctypes.c_int64),
+            _ptr(src, ctypes.c_int32),
+            _ptr(dst, ctypes.c_int32),
+            _ptr(w, ctypes.c_float),
+            _ptr(mask, ctypes.c_float),
+            _ptr(trunc, ctypes.c_int64),
+        )
+    )
+    return node_ids, src, dst, w, mask, n_real, trunc

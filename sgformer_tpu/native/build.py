@@ -72,6 +72,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.sample_neighbors.argtypes = [
             P(i64), P(i64), P(i64), i64, i64, u64, P(i64), P(i64),
         ]
+        lib.sample_batch.restype = i64
+        lib.sample_batch.argtypes = [
+            P(i64), P(i64), P(i64), i64, P(i64), i64, i64, i64, u64,
+            P(i64), P(i32), P(i32), P(f32), P(f32), P(i64),
+        ]
         _LIB = lib
         return _LIB
 

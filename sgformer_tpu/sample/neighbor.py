@@ -111,7 +111,9 @@ class NeighborSampler:
         node_cap: Optional[int] = None,
         edge_cap: Optional[int] = None,
         seed: int = 0,
+        use_native: bool = True,
     ):
+        self.use_native = use_native
         self.csr = CSRGraph.from_edge_index(edge_index, num_nodes)
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
@@ -134,8 +136,37 @@ class NeighborSampler:
         self.truncated_node_batches = 0
         self.truncated_edge_batches = 0
 
-    def sample(self, seeds: np.ndarray) -> SampledBatch:
+    def sample(self, seeds: np.ndarray, rng_seed: Optional[int] = None
+               ) -> SampledBatch:
+        """One padded batch.  Uses the C++ full-batch pipeline
+        (csrc/graph_kernels.cpp::sample_batch — sampling, relabel,
+        self-loops, dst sort, weights, padding in one GIL-released call;
+        the role of PyG's 12 C++ loader workers) with the numpy path below
+        as the always-available oracle (``use_native=False``).
+        ``rng_seed`` pins the batch's randomness (the threaded epoch
+        pre-draws seeds because numpy Generators are not thread-safe)."""
         seeds = np.asarray(seeds, dtype=np.int64)
+        if self.use_native:
+            from sgformer_tpu.native.api import sample_batch_native
+
+            native = sample_batch_native(
+                self.csr.indptr, self.csr.indices, seeds, self.fanouts,
+                self.node_cap, self.edge_cap,
+                int(self.rng.integers(2**62))
+                if rng_seed is None else int(rng_seed),
+            )
+            if native is not None:
+                node_ids, src, dst, w, mask, n_real, trunc = native
+                self.truncated_node_batches += int(trunc[0])
+                self.truncated_edge_batches += int(trunc[1])
+                return SampledBatch(
+                    node_ids=node_ids, edge_src=src, edge_dst=dst,
+                    edge_weight=w, node_mask=mask, num_seeds=len(seeds),
+                    num_nodes=n_real,
+                )
+        return self._sample_numpy(seeds)
+
+    def _sample_numpy(self, seeds: np.ndarray) -> SampledBatch:
         all_src, all_dst = [], []
         nodes = seeds  # seeds first; later hops appended (vectorized)
         frontier = seeds
@@ -209,15 +240,38 @@ class NeighborSampler:
             num_nodes=n_real,
         )
 
-    def epoch(self, seed_pool: np.ndarray, shuffle: bool = True) -> Iterator[SampledBatch]:
+    def epoch(
+        self,
+        seed_pool: np.ndarray,
+        shuffle: bool = True,
+        workers: int = 0,
+    ) -> Iterator[SampledBatch]:
         """Full-batch iterator over the seed pool (drops the remainder so
         every batch has exactly ``batch_size`` seeds, like the reference's
-        ``drop_last`` semantics for static shapes)."""
+        ``drop_last`` semantics for static shapes).  ``workers > 0``
+        samples batches concurrently in a thread pool — the C++ sampler
+        releases the GIL, so this is real parallelism (PyG's
+        ``num_workers=12`` equivalent, ``100M/nb-sample.py:131``) with
+        in-order delivery."""
         pool = np.asarray(seed_pool)
         if shuffle:
             pool = pool[self.rng.permutation(len(pool))]
-        for i in range(0, len(pool) - self.batch_size + 1, self.batch_size):
-            yield self.sample(pool[i : i + self.batch_size])
+        starts = range(0, len(pool) - self.batch_size + 1, self.batch_size)
+        if workers <= 0:
+            for i in starts:
+                yield self.sample(pool[i: i + self.batch_size])
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        # pre-draw per-batch seeds: numpy Generators are not thread-safe
+        seeds = [int(self.rng.integers(2**62)) for _ in starts]
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            futs = [
+                ex.submit(self.sample, pool[i: i + self.batch_size], sd)
+                for i, sd in zip(starts, seeds)
+            ]
+            for f in futs:
+                yield f.result()
 
 
 class PrefetchIterator:

@@ -217,3 +217,64 @@ def test_batch_trainer_cpu_eval_offload(ds):
     split = ds.get_idx_split(rng=np.random.default_rng(0))
     logger = trainer.fit([split])
     assert logger.results[0]
+
+
+def test_native_sampler_matches_numpy_invariants(ds):
+    """C++ full-batch sampler (csrc::sample_batch) upholds every
+    structural invariant of the numpy oracle: seeds-first relabel,
+    dst-sorted edges, self-loops on all real nodes, gcn-norm weights,
+    static padding conventions."""
+    from sgformer_tpu.graph import gcn_norm_weights
+    from sgformer_tpu.native.build import native_available
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    for use_native in (True, False):
+        sampler = NeighborSampler(
+            edge_index, n, fanouts=[5, 3], batch_size=50, seed=0,
+            use_native=use_native,
+        )
+        b = sampler.sample(np.arange(50))
+        np.testing.assert_array_equal(b.node_ids[:50], np.arange(50))
+        real = b.edge_weight > 0
+        # dst-sorted
+        assert (np.diff(b.edge_dst[real.nonzero()[0]]) >= 0).all()
+        # self-loop on every real node
+        loops = set(
+            b.edge_src[real][b.edge_src[real] == b.edge_dst[real]].tolist()
+        )
+        assert loops == set(range(b.num_nodes))
+        # weights match gcn_norm_weights on the real edge set
+        e = int(real.sum())
+        w_want = gcn_norm_weights(
+            b.edge_src[:e], b.edge_dst[:e], b.num_nodes
+        )
+        np.testing.assert_allclose(b.edge_weight[:e], w_want, rtol=1e-5)
+        # padding conventions
+        assert (b.edge_weight[e:] == 0).all()
+        assert (b.node_mask[: b.num_nodes] == 1).all()
+        assert (b.node_mask[b.num_nodes:] == 0).all()
+
+
+def test_parallel_epoch_matches_serial_order(ds):
+    """Threaded epoch yields the same number of batches, each valid."""
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    sampler = NeighborSampler(edge_index, n, fanouts=[4, 3],
+                              batch_size=40, seed=1)
+    pool = np.arange(n)
+    serial = list(sampler.epoch(pool, shuffle=False, workers=0))
+    threaded = list(
+        NeighborSampler(edge_index, n, fanouts=[4, 3], batch_size=40,
+                        seed=1).epoch(pool, shuffle=False, workers=4)
+    )
+    assert len(serial) == len(threaded) == n // 40
+    for i, b in enumerate(threaded):
+        np.testing.assert_array_equal(
+            b.node_ids[: b.num_seeds],
+            pool[i * 40: (i + 1) * 40],
+        )
