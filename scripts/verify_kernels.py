@@ -1,0 +1,143 @@
+"""Real-TPU kernel regression gate (VERDICT round-1 task 7).
+
+Runs every Pallas kernel COMPILED on the attached chip against its XLA
+oracle — fwd and grad — and fails loudly on mismatch.  Interpret-mode CI
+cannot catch Mosaic miscompiles (CLAUDE.md lists three already hit); this
+is the scripted on-chip check.  Seconds on a warm compile cache.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/verify_kernels.py
+"""
+
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sgformer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    if jax.default_backend() != "tpu":
+        print("SKIP: no TPU attached (backend=%s)" % jax.default_backend())
+        return 0
+
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.kernels.attention import fused_linear_attention
+    from sgformer_tpu.kernels.chunks import build_chunks
+    from sgformer_tpu.kernels.slab_spmm import slab_spmm
+    from sgformer_tpu.kernels.spmm import chunked_spmm, chunked_spmm_edge_values
+    from sgformer_tpu.ops.attention import linear_attention
+    from sgformer_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(0)
+    N, E = 20_000, 120_000
+    src = rng.integers(0, N, E)
+    dst = rng.integers(0, N, E)
+    # clustered block so the slab path has local work
+    half = E // 2
+    base = (dst[:half] // 2048) * 2048
+    src[:half] = (base + rng.integers(0, 2048, half)) % N
+    ei = np.stack([src, dst])
+    g_chunk = preprocess_graph(ei, N, with_chunks=True, chunk_dtype="f32")
+    g_slab = preprocess_graph(ei, N, with_chunks=True, spmm_mode="slab",
+                              chunk_dtype="f32", slab_rows=2048)
+    x = jnp.asarray(rng.standard_normal((N, 128)), dtype=jnp.float32)
+    co = jnp.asarray(rng.standard_normal((N, 128)), dtype=jnp.float32)
+
+    failures = []
+
+    def check(name, got, want, tol):
+        got, want = np.asarray(got), np.asarray(want)
+        err = float(
+            np.max(np.abs(got - want)) / (np.max(np.abs(want)) + 1e-9)
+        )
+        ok = np.isfinite(got).all() and err < tol
+        print(f"{'PASS' if ok else 'FAIL'} {name}: rel err {err:.2e}"
+              f" (tol {tol:g})", flush=True)
+        if not ok:
+            failures.append(name)
+
+    # ---- chunked SpMM (gather path), f32 exact ----
+    oracle = jax.jit(
+        lambda xx: spmm(xx, g_chunk.edge_src, g_chunk.edge_dst,
+                        g_chunk.gcn_weight, N)
+    )
+    want = oracle(x)
+    got = jax.jit(
+        lambda xx: chunked_spmm(xx, g_chunk.chunks,
+                                compute_dtype=jnp.float32)
+    )(x)
+    check("chunked_spmm fwd f32", got, want, 1e-5)
+
+    g_want = jax.jit(jax.grad(lambda xx: jnp.sum(oracle(xx) * co)))(x)
+    g_got = jax.jit(jax.grad(
+        lambda xx: jnp.sum(
+            chunked_spmm(xx, g_chunk.chunks, compute_dtype=jnp.float32) * co
+        )
+    ))(x)
+    check("chunked_spmm grad f32", g_got, g_want, 1e-5)
+
+    # ---- slab SpMM (gather-free path), f32 exact ----
+    # oracle in the slab graph's RELABELED node space
+    oracle_s = jax.jit(
+        lambda xx: spmm(xx, g_slab.edge_src, g_slab.edge_dst,
+                        g_slab.gcn_weight, N)
+    )
+    want = oracle_s(x)
+    got = jax.jit(
+        lambda xx: slab_spmm(xx, g_slab.chunks, compute_dtype=jnp.float32)
+    )(x)
+    check("slab_spmm fwd f32", got, want, 1e-5)
+
+    g_want = jax.jit(jax.grad(lambda xx: jnp.sum(oracle_s(xx) * co)))(x)
+    g_got = jax.jit(jax.grad(
+        lambda xx: jnp.sum(
+            slab_spmm(xx, g_slab.chunks, compute_dtype=jnp.float32) * co
+        )
+    ))(x)
+    check("slab_spmm grad f32", g_got, g_want, 1e-5)
+
+    # ---- runtime edge values (GAT aggregation) ----
+    gp = preprocess_graph(ei, N, with_chunks=True, chunk_perm=True,
+                          chunk_dtype="f32")
+    ev = jnp.asarray(
+        rng.standard_normal(gp.num_edges).astype(np.float32) * 0.1
+    )
+    want = jax.jit(
+        lambda xx, vv: spmm(xx, gp.edge_src, gp.edge_dst, vv, N)
+    )(x, ev)
+    got = jax.jit(
+        lambda xx, vv: chunked_spmm_edge_values(
+            xx, gp.chunks, vv, gp.edge_src, gp.edge_dst,
+            compute_dtype=jnp.float32,
+        )
+    )(x, ev)
+    check("chunked_spmm_edge_values fwd f32", got, want, 1e-5)
+
+    # ---- fused linear attention ----
+    q = jnp.asarray(rng.standard_normal((N, 1, 64)), dtype=jnp.float32)
+    want = jax.jit(lambda qq: linear_attention(qq, qq, qq))(q)
+    got = jax.jit(lambda qq: fused_linear_attention(qq, qq, qq))(q)
+    check("fused_attention fwd f32", got, want, 1e-4)
+
+    cq = jnp.asarray(rng.standard_normal((N, 1, 64)), dtype=jnp.float32)
+    g_want = jax.jit(jax.grad(
+        lambda qq: jnp.sum(linear_attention(qq, qq, qq) * cq)
+    ))(q)
+    g_got = jax.jit(jax.grad(
+        lambda qq: jnp.sum(fused_linear_attention(qq, qq, qq) * cq)
+    ))(q)
+    check("fused_attention grad f32", g_got, g_want, 1e-3)
+
+    if failures:
+        print(f"KERNEL GATE FAILED: {failures}", flush=True)
+        return 1
+    print("KERNEL GATE OK", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

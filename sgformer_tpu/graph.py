@@ -39,6 +39,7 @@ import numpy as np
         "pyg_weight",
         "chunks",
         "pyg_chunks",
+        "node_perm",
     ],
     meta_fields=["num_nodes", "num_edges", "chunk_dtype", "chunk_interpret"],
 )
@@ -67,11 +68,16 @@ class Graph:
     pyg_src: Optional[jax.Array] = None
     pyg_dst: Optional[jax.Array] = None
     pyg_weight: Optional[jax.Array] = None
-    # MXU SpMM chunk plans (sgformer_tpu/kernels); None = XLA segment_sum.
+    # MXU SpMM plans (sgformer_tpu/kernels): ChunkedSpMM (gather path) or
+    # SlabSpMM (gather-free clustered path); None = XLA segment_sum.
     chunks: Optional[object] = None
     pyg_chunks: Optional[object] = None
     chunk_dtype: str = "bf16"
     chunk_interpret: bool = False
+    # slab mode only: perm[new_id] = old_id of the clustering reorder.
+    # Node-indexed arrays (x, labels) must be taken as ``arr[node_perm]``
+    # and index sets mapped through the inverse — Trainer does both.
+    node_perm: Optional[jax.Array] = None
 
     @property
     def edge_index(self):
@@ -91,9 +97,18 @@ class Graph:
 
         plan = self.chunks if kind == "gcn" else self.pyg_chunks
         if plan is not None:
+            dtype = _jnp.float32 if self.chunk_dtype == "f32" else _jnp.bfloat16
+            from sgformer_tpu.kernels.slabs import SlabSpMM
+
+            if isinstance(plan, SlabSpMM):
+                from sgformer_tpu.kernels.slab_spmm import slab_spmm
+
+                return slab_spmm(
+                    x, plan, compute_dtype=dtype,
+                    interpret=self.chunk_interpret,
+                )
             from sgformer_tpu.kernels.spmm import chunked_spmm
 
-            dtype = _jnp.float32 if self.chunk_dtype == "f32" else _jnp.bfloat16
             return chunked_spmm(
                 x, plan, compute_dtype=dtype, interpret=self.chunk_interpret
             )
@@ -186,6 +201,8 @@ def preprocess_graph(
     window_rows: int = 128,
     chunk_dtype: str = "bf16",
     chunk_interpret: bool = False,
+    spmm_mode: str = "chunks",
+    slab_rows: int = 16384,
     dtype=np.float32,
 ) -> Graph:
     """One-time preprocessing pipeline (reference: ``large/main.py:74-79``):
@@ -193,9 +210,13 @@ def preprocess_graph(
 
     ``with_pyg_norm`` additionally precomputes PyG ``gcn_norm`` edges for
     the medium-tier GCNConv backbone.  ``with_chunks`` builds the Pallas
-    MXU SpMM chunk plans (fwd + transpose) so ``propagate`` runs on the
+    MXU SpMM plans (fwd + transpose) so ``propagate`` runs on the
     systolic array; ``chunk_dtype`` in {'bf16','f32'} picks the message
-    dtype (accumulation is always f32).
+    dtype (accumulation is always f32).  ``spmm_mode='slab'`` uses the
+    gather-free slab kernel: a structural clustering reorder relabels the
+    nodes (recorded in ``Graph.node_perm``; Trainer permutes x/labels and
+    maps split indices automatically) so most aggregation runs as
+    VMEM-resident one-hot matmuls instead of per-edge HBM gathers.
     """
     edge_index = np.asarray(edge_index)
     if undirected:
@@ -203,6 +224,18 @@ def preprocess_graph(
     if self_loops:
         edge_index = remove_self_loops(edge_index)
         edge_index = add_self_loops(edge_index, num_nodes)
+    node_perm = None
+    if with_chunks and spmm_mode == "slab":
+        from sgformer_tpu.kernels.slabs import reorder_for_slabs
+
+        if chunk_dtype == "f32":
+            # the single-buffered f32 slab scratch must fit VMEM (~16 MB)
+            slab_rows = min(slab_rows, 8192)
+        perm, inv = reorder_for_slabs(
+            edge_index, num_nodes, slab_rows=slab_rows
+        )
+        edge_index = np.stack([inv[edge_index[0]], inv[edge_index[1]]])
+        node_perm = perm
     src, dst = sort_by_dst(edge_index)
     weight = gcn_norm_weights(src, dst, num_nodes).astype(dtype)
     indptr = build_indptr(dst, num_nodes)
@@ -215,7 +248,17 @@ def preprocess_graph(
         pyg_dst = jnp.asarray(pdst, dtype=jnp.int32)
         pyg_weight = jnp.asarray(pw.astype(dtype))
     chunks = pyg_chunks = None
-    if with_chunks:
+    if with_chunks and spmm_mode == "slab":
+        from sgformer_tpu.kernels.slabs import build_slabs
+
+        chunks = build_slabs(src, dst, weight, num_nodes,
+                             slab_rows=slab_rows)
+        if pyg_np is not None:
+            pyg_chunks = build_slabs(
+                pyg_np[0], pyg_np[1], pyg_np[2], num_nodes,
+                slab_rows=slab_rows,
+            )
+    elif with_chunks:
         from sgformer_tpu.kernels.chunks import build_chunks
 
         chunks = build_chunks(
@@ -242,6 +285,10 @@ def preprocess_graph(
         pyg_chunks=pyg_chunks,
         chunk_dtype=chunk_dtype,
         chunk_interpret=chunk_interpret,
+        node_perm=(
+            None if node_perm is None
+            else jnp.asarray(node_perm, dtype=jnp.int32)
+        ),
     )
 
 

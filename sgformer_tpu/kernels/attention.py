@@ -144,42 +144,161 @@ def _fwd_single_head(q, k, v, n_total, axis_name, block, interpret):
     )
 
 
-def _bwd_single_head(q, k, v, n_total, axis_name, res, g):
-    """Hand-derived VJP; all terms are einsum-shaped, and the cross-node
-    reductions (P, ds, dinv) get one fused psum under sharding."""
-    kvs, ksum, scal = res
-    qsq, ksq = scal[0, 0], scal[0, 1]
-    qn2, kn2 = qsq, ksq
+def _bwd_reduce_kernel(n_ref, q_ref, v_ref, g_ref, kvs_ref, ksum_ref,
+                       scal_ref, P_ref, ds_ref, extra_ref):
+    """Backward pass 1: accumulate the cross-node partials
+    P = Σ qᵢ⊗gdᵢ, ds = Σ qᵢ·gdenᵢ, dinv = Σ gd·a + gden·b, recomputing
+    den/num per block IN VMEM (no [N,*] f32 temp ever hits HBM — the old
+    einsum backward materialized four of them)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        P_ref[:] = jnp.zeros_like(P_ref)
+        ds_ref[:] = jnp.zeros_like(ds_ref)
+        extra_ref[:] = jnp.zeros_like(extra_ref)
+
+    inv = jax.lax.rsqrt(scal_ref[0, 0]) * jax.lax.rsqrt(scal_ref[0, 1])
+    n = n_ref[0, 0]
+    q = q_ref[:]
+    vf = v_ref[:].astype(jnp.float32)
+    gf = g_ref[:].astype(jnp.float32)
+    a = jax.lax.dot_general(
+        q, kvs_ref[:].astype(q.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, D]
+    qf = q.astype(jnp.float32)
+    b = jnp.sum(qf * ksum_ref[:].astype(jnp.float32), axis=1,
+                keepdims=True)  # [B, 1]
+    den = inv * b + n
+    num = inv * a + n * vf
+    gd = gf / den
+    gden = -jnp.sum(gf * num, axis=1, keepdims=True) / (den * den)  # [B,1]
+    P_ref[:] += jax.lax.dot_general(
+        qf, gd, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds_ref[:] += jnp.sum(qf * gden, axis=0, keepdims=True)
+    dinv = jnp.sum(gd * a) + jnp.sum(gden * b)
+    pad = jnp.zeros((1, 127), dtype=jnp.float32)
+    extra_ref[:] += jnp.concatenate([dinv.reshape(1, 1), pad], axis=1)
+
+
+def _bwd_apply_kernel(n_ref, q_ref, k_ref, v_ref, g_ref, kvs_ref, ksum_ref,
+                      scal_ref, P_ref, ds_ref, extra_ref,
+                      dq_ref, dk_ref, dv_ref):
+    """Backward pass 2: per-block dq/dk/dv from the reduced partials."""
+    qsq, ksq = scal_ref[0, 0], scal_ref[0, 1]
     inv = jax.lax.rsqrt(qsq) * jax.lax.rsqrt(ksq)
-    s = ksum[0]  # [M]
+    n = n_ref[0, 0]
+    dinv = extra_ref[0, 0]
+    q = q_ref[:]
+    k = k_ref[:]
+    vf = v_ref[:].astype(jnp.float32)
+    gf = g_ref[:].astype(jnp.float32)
+    a = jax.lax.dot_general(
+        q, kvs_ref[:].astype(q.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    gf = g.astype(jnp.float32)
+    ksum = ksum_ref[:].astype(jnp.float32)  # [1, M]
+    b = jnp.sum(qf * ksum, axis=1, keepdims=True)
+    den = inv * b + n
+    num = inv * a + n * vf
+    gd = gf / den
+    gden = -jnp.sum(gf * num, axis=1, keepdims=True) / (den * den)
+    # dq = inv·(gd @ kvsᵀ) + inv·gden·ksum − dinv·inv/qsq·q
+    dq = inv * jax.lax.dot_general(
+        gd.astype(q.dtype), kvs_ref[:].astype(q.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dq = dq + inv * gden * ksum - (dinv * inv / qsq) * qf
+    # dk = inv·(v @ Pᵀ) + inv·ds − dinv·inv/ksq·k
+    dk = inv * jax.lax.dot_general(
+        vf.astype(k.dtype), P_ref[:].astype(k.dtype),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dk = dk + inv * ds_ref[:].astype(jnp.float32) - (dinv * inv / ksq) * kf
+    # dv = n·gd + inv·(k @ P)
+    dv = n * gd + inv * jax.lax.dot_general(
+        kf.astype(k.dtype), P_ref[:].astype(k.dtype),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
-    b = qf @ s  # [N]
-    den = inv * b + n_total
-    a = qf @ kvs  # [N, D]
-    num = inv * a + n_total * vf
-    gd = gf / den[:, None]
-    gden = -jnp.sum(gf * num, axis=1) / (den * den)  # [N]
 
-    # local cross-node partials
-    P = qf.T @ gd  # [M, D]   (Σ_i q_i ⊗ g_i/den_i)
-    ds_part = qf.T @ gden  # [M]
-    dinv_part = jnp.sum(gd * a) + jnp.sum(gden * b)
+def _bwd_single_head(q, k, v, n_total, axis_name, res, g, block, interpret):
+    """Fused-pallas VJP: pass 1 reduces (P, ds, dinv) with den/num
+    recomputed in VMEM; one psum under sharding; pass 2 applies.  Exact
+    same math as the einsum derivation it replaces (verified vs autodiff
+    in tests/test_kernels.py)."""
+    kvs, ksum, scal = res
+    M, D = q.shape[1], v.shape[1]
+    N = q.shape[0]
+    qp, kp, vp, gp = (
+        _pad_rows(q, block), _pad_rows(k, block), _pad_rows(v, block),
+        _pad_rows(g, block),
+    )
+    grid = qp.shape[0] // block
+    n_arr = jnp.asarray(n_total, jnp.float32).reshape(1, 1)
+    smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    P, ds, extra = pl.pallas_call(
+        _bwd_reduce_kernel,
+        grid=(grid,),
+        in_specs=[
+            smem,
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, D), jnp.float32),
+            jax.ShapeDtypeStruct((1, M), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(n_arr, qp, vp, gp, kvs, ksum, scal)
     if axis_name is not None:
-        P, ds_part, dinv_part = jax.lax.psum(
-            (P, ds_part, dinv_part), axis_name
-        )
-
-    dv = n_total * gd + inv * (kf @ P)
-    dq = inv * (gd @ kvs.T) + inv * (gden[:, None] * s[None, :])
-    dk = inv * (vf @ P.T) + inv * ds_part[None, :]
-    # through the global norms: inv = (qsq·ksq)^-1/2
-    dq = dq + dinv_part * (-inv / qn2) * qf
-    dk = dk + dinv_part * (-inv / kn2) * kf
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+        P, ds, extra = jax.lax.psum((P, ds, extra), axis_name)
+    dq, dk, dv = pl.pallas_call(
+        _bwd_apply_kernel,
+        grid=(grid,),
+        in_specs=[
+            smem,
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+            pl.BlockSpec((M, D), lambda i: (0, 0)),
+            pl.BlockSpec((1, M), lambda i: (0, 0)),
+            pl.BlockSpec((1, 128), lambda i: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, M), lambda i: (i, 0)),
+            pl.BlockSpec((block, D), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qp.shape[0], M), q.dtype),
+            jax.ShapeDtypeStruct((qp.shape[0], M), k.dtype),
+            jax.ShapeDtypeStruct((qp.shape[0], D), v.dtype),
+        ],
+        interpret=interpret,
+    )(n_arr, qp, kp, vp, gp, kvs, ksum, scal, P, ds, extra)
+    return dq[:N], dk[:N], dv[:N]
 
 
 def fused_linear_attention(
@@ -245,7 +364,7 @@ def _attn_core_bwd(axis_name, block, interpret, saved, g):
     for h in range(H):
         dq, dk, dv = _bwd_single_head(
             qs[:, h], ks[:, h], vs[:, h], n_total, axis_name,
-            residuals[h], g[:, h],
+            residuals[h], g[:, h], block, interpret,
         )
         dqs.append(dq)
         dks.append(dk)

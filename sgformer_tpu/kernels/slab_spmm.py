@@ -1,0 +1,218 @@
+"""Slab SpMM kernel: gather-free ``A_norm @ X`` for clustered graphs.
+
+Per grid step (one output window of W rows, its slab VMEM-resident):
+
+  for each of Q chunks (C local edges of one B-row sub-block):
+    sel_src[C, B] = weighted one-hot of src-within-sub-block   (VPU)
+    msgs[C, F]    = sel_src @ slab[sub*B : sub*B+B]            (MXU)
+    sel_dst[W, C] = one-hot of dst-within-window               (VPU)
+    acc[W, F]    += sel_dst @ msgs                             (MXU)
+
+The slab ([B_slab, F] block of x) is fetched once per slab (consecutive
+windows share it — the index map repeats, so the pallas pipeline does not
+re-copy), every other operand is metadata — no [E, F] message tensor,
+and NO per-edge HBM gather (the wall measured at ~7.5 ns/row in
+scripts/microbench_gather.py).  Cross-slab edges run the round-1
+gather+selector kernel (``kernels/spmm.py``); self-loops are a plain
+``w_self ⊙ x`` elementwise.  Replaces ``torch_sparse.matmul``
+(``/root/reference/large/ours.py:33-34``) on the TPU-native side.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sgformer_tpu.kernels.slabs import SlabPlanSide, SlabSpMM
+from sgformer_tpu.kernels.spmm import _apply_plan, _zero_cotangent
+
+
+def _slab_kernel(
+    win_ref, slab_ref,  # scalar prefetch: [n_steps] window / slab ids
+    sub_ref, lsrc_ref, ldst_ref, w_ref, prev_ref, x_any, out_ref,
+    slab_scratch, dma_sem,
+    *, Q, C, B, W, R, H, compute_dtype,
+):
+    i = pl.program_id(0)
+    prev_w = win_ref[jnp.maximum(i - 1, 0)]
+    is_first = jnp.logical_or(i == 0, win_ref[i] != prev_w)
+    prev_s = slab_ref[jnp.maximum(i - 1, 0)]
+    new_slab = jnp.logical_or(i == 0, slab_ref[i] != prev_s)
+
+    # The slab lives in a SINGLE manually-DMA'd VMEM scratch (slab changes
+    # are rare — one blocking ~15 µs copy per slab — so skipping the block
+    # pipeline's double buffering halves the VMEM footprint and admits
+    # 3x bigger slabs = more local edges).
+    @pl.when(new_slab)
+    def _():
+        dma = pltpu.make_async_copy(
+            x_any.at[pl.ds(pl.multiple_of(slab_ref[i] * H, H), R), :],
+            slab_scratch,
+            dma_sem,
+        )
+        dma.start()
+        dma.wait()
+
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if compute_dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    lv = lsrc_ref[0]  # [Q, C] int32 — slot indices live in LANES
+    dv = ldst_ref[0]
+    wv = w_ref[0]
+    acc = jnp.zeros((W, out_ref.shape[1]), dtype=jnp.float32)
+    for q in range(Q):
+        sub = sub_ref[0, 0, q]  # SMEM scalar: sub-block within slab
+        lsrc = jax.lax.slice(lv, (q, 0), (q + 1, C))  # [1, C]
+        ldst = jax.lax.slice(dv, (q, 0), (q + 1, C))
+        w = jax.lax.slice(wv, (q, 0), (q + 1, C))
+        # TRANSPOSED weighted src one-hot [B, C]: column c holds w[c] at
+        # row lsrc[c] (indices broadcast along sublanes, the layout the
+        # VPU compare supports); the MXU contracts over B directly.
+        sel_src_t = jnp.where(
+            jnp.broadcast_to(lsrc, (B, C))
+            == jax.lax.broadcasted_iota(jnp.int32, (B, C), 0),
+            jnp.broadcast_to(w, (B, C)),
+            0.0,
+        ).astype(compute_dtype)
+        blk = slab_scratch[pl.ds(pl.multiple_of(sub * B, B), B), :]
+        msgs = jax.lax.dot_general(
+            sel_src_t, blk.astype(compute_dtype),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # [C, F] f32
+        # dst one-hot [W, C]: row r holds 1 where ldst[c] == r
+        sel_dst = jnp.where(
+            jnp.broadcast_to(ldst, (W, C))
+            == jax.lax.broadcasted_iota(jnp.int32, (W, C), 0),
+            1.0,
+            0.0,
+        ).astype(compute_dtype)
+        acc = acc + jnp.dot(
+            sel_dst, msgs.astype(compute_dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    # First window visit seeds the block from ``prev`` (the remote-path
+    # partial) — the separate local+remote add pass and its extra HBM
+    # round-trip disappear.
+    @pl.when(is_first)
+    def _():
+        out_ref[:] = prev_ref[:] + acc
+
+    @pl.when(jnp.logical_not(is_first))
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
+    """Local (intra-slab) edges accumulated ON TOP of ``prev`` (the
+    remote partial, or zeros): [num_rows_out, F] f32."""
+    W, B, C, Q = (
+        side.window_rows, side.block_rows, side.chunk_edges,
+        side.chunks_per_step,
+    )
+    F = x_pad.shape[1]
+    R, H = side.slab_rows, side.base_rows
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # window_id, slab_id
+        grid=(side.n_steps,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, Q), lambda i, win, slab: (i, 0, 0),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((1, Q, C), lambda i, win, slab: (i, 0, 0)),
+            pl.BlockSpec((1, Q, C), lambda i, win, slab: (i, 0, 0)),
+            pl.BlockSpec((1, Q, C), lambda i, win, slab: (i, 0, 0)),
+            pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((R, F), x_pad.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = partial(
+        _slab_kernel, Q=Q, C=C, B=B, W=W, R=R, H=H,
+        compute_dtype=compute_dtype,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((side.num_rows_out, F), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * side.n_steps * Q * C * F * (B + W),
+            bytes_accessed=(
+                side.num_rows_out * F * x_pad.dtype.itemsize
+                + side.num_rows_out * F * 4
+            ),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(side.window_id, side.slab_id, side.subblock, side.local_src,
+      side.local_dst, side.weight, prev, x_pad)
+
+
+def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
+                interpret):
+    slab_mb = (side.slab_rows * x.shape[1]
+               * jnp.dtype(compute_dtype).itemsize) / 2**20
+    if slab_mb > 13.0:
+        raise ValueError(
+            f"slab scratch {slab_mb:.1f} MB won't fit VMEM: rebuild the "
+            f"plan with smaller slab_rows for {jnp.dtype(compute_dtype)} "
+            f"(preprocess_graph caps f32 slabs automatically)"
+        )
+    n_pad = plan.n_pad
+    xc = x.astype(compute_dtype)
+    if x.shape[0] != n_pad:
+        xc = jnp.pad(xc, ((0, n_pad - x.shape[0]), (0, 0)))
+    rows_out = side.num_rows_out
+    if side.remote is not None:
+        prev = _apply_plan(xc, side.remote, compute_dtype, interpret)
+        if prev.shape[0] != rows_out:
+            prev = jnp.pad(prev, ((0, rows_out - prev.shape[0]), (0, 0)))
+    else:
+        prev = jnp.zeros((rows_out, x.shape[1]), jnp.float32)
+    out = _apply_local(xc, prev, side, compute_dtype, interpret)[:n_pad]
+    out = out + plan.w_self[:, None] * xc.astype(jnp.float32)
+    return out[: plan.num_nodes].astype(x.dtype)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _slab_core(compute_dtype_name: str, interpret: bool, x, plan):
+    dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
+    return _apply_side(x, plan, plan.fwd, dtype, interpret)
+
+
+def _slab_core_fwd(compute_dtype_name, interpret, x, plan):
+    return _slab_core(compute_dtype_name, interpret, x, plan), plan
+
+
+def _slab_core_bwd(compute_dtype_name, interpret, plan, g):
+    dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
+    dx = _apply_side(g, plan, plan.bwd, dtype, interpret)
+    return dx, _zero_cotangent(plan)
+
+
+_slab_core.defvjp(_slab_core_fwd, _slab_core_bwd)
+
+
+def slab_spmm(
+    x: jax.Array,
+    plan: SlabSpMM,
+    *,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jax.Array:
+    """out[i] = Σ_{e: dst[e]==i} w[e]·x[src[e]] — differentiable in x.
+    Drop-in for :func:`sgformer_tpu.kernels.spmm.chunked_spmm` given a
+    :class:`SlabSpMM` plan (edges relabeled by ``reorder_for_slabs``)."""
+    return _slab_core(jnp.dtype(compute_dtype).name, interpret, x, plan)

@@ -1,0 +1,415 @@
+"""Host-side planning for the slab SpMM kernel (round-2 redesign).
+
+Why: the measured wall for ``A_norm @ X`` on this hardware is the per-edge
+source-row HBM gather — ~7.5 ns/row regardless of dtype, row size (128B+)
+or index locality (scripts/microbench_gather.py).  The round-1 chunk
+kernel still gathers every edge's source row, so the arxiv-shaped train
+step is ~93% gather.  The slab design eliminates the gather for edges
+whose source lies in the same ``slab`` (contiguous block of ``B_slab``
+reordered nodes) as their destination window: the slab is VMEM-resident,
+and the "gather" becomes a [C, B] one-hot matmul against a [B, F]
+sub-block of the slab — MXU work at ~0.3M flops/edge instead of a 7.5 ns
+descriptor.  Cross-slab ("remote") edges keep the round-1 gather+selector
+path.  A structural clustering reorder (capacity-capped label
+propagation + greedy packing) maximizes the local fraction.
+
+Replaces the same cuSPARSE SpMM call sites as ``kernels/chunks.py``
+(``/root/reference/large/ours.py:33-34``, ``100M/ours.py:80``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sgformer_tpu.kernels.chunks import ChunkPlan, _build_plan
+
+
+def label_propagation(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    iters: int = 40,
+    max_size: Optional[int] = None,
+    seed: int = 0,
+) -> np.ndarray:
+    """Capacity-capped label propagation: each node adopts the most common
+    label among its neighbors, but labels at/above ``max_size`` members
+    stop attracting (prevents collapse past the slab capacity).  Stops
+    early once labels are stable.  Returns compacted cluster ids.
+    O(iters * E log E) numpy; edges should be the undirected edge list.
+    (Convergence is slow from singleton seeds — ~40 sweeps on an
+    arxiv-shaped planted partition reaches the homophily ceiling.)"""
+    rng = np.random.default_rng(seed)
+    labels = np.arange(num_nodes, dtype=np.int64)
+    if max_size is None:
+        max_size = max(256, num_nodes // 16)
+    for _ in range(iters):
+        prev = labels.copy()
+        l = labels[src]
+        order = np.lexsort((l, dst))
+        d, ll = dst[order], l[order]
+        run = np.empty(len(d), dtype=bool)
+        run[0] = True
+        run[1:] = (d[1:] != d[:-1]) | (ll[1:] != ll[:-1])
+        starts = np.nonzero(run)[0]
+        counts = np.diff(np.r_[starts, len(d)])
+        gd, gl = d[starts], ll[starts]
+        # labels that hit capacity stop attracting new members
+        sizes = np.bincount(labels, minlength=num_nodes)
+        full = sizes[gl] >= max_size
+        key = counts.astype(np.float64) + rng.random(len(counts)) * 0.5
+        key[full & (gl != labels[gd])] = -1.0
+        o2 = np.lexsort((key, gd))
+        gd2, gl2, key2 = gd[o2], gl[o2], key[o2]
+        last = np.r_[np.nonzero(gd2[1:] != gd2[:-1])[0], len(gd2) - 1]
+        upd_nodes, upd_labels, upd_key = gd2[last], gl2[last], key2[last]
+        ok = upd_key > 0
+        labels[upd_nodes[ok]] = upd_labels[ok]
+        if np.array_equal(labels, prev):
+            break
+    _, labels = np.unique(labels, return_inverse=True)
+    return labels
+
+
+def cluster_pack_perm(clusters: np.ndarray, slab_rows: int) -> np.ndarray:
+    """Boundary-aware best-fit-decreasing packing: fill each slab with the
+    largest remaining clusters that fit; when nothing fits, split the
+    largest cluster exactly at the boundary (its two pieces stay
+    contiguous, so only that cluster's cross-piece edges go remote).
+    Slabs are fixed [i*slab_rows, (i+1)*slab_rows) ranges of the new
+    order.  Returns ``perm`` with ``perm[new_id] = old_id``."""
+    import heapq
+
+    clusters = np.asarray(clusters)
+    sizes = np.bincount(clusters)
+    order_in_cluster = np.argsort(clusters, kind="stable")
+    starts = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    # max-heap of (-size, cluster, consumed-offset)
+    heap = [(-int(sizes[c]), int(c), 0) for c in range(len(sizes))
+            if sizes[c] > 0]
+    heapq.heapify(heap)
+    pieces = []
+    remaining = slab_rows
+    pending = []  # didn't fit this slab's gap; kept in descending size
+    while heap or pending:
+        while heap:
+            neg, c, off = heapq.heappop(heap)
+            size = -neg
+            if size <= remaining:
+                pieces.append(order_in_cluster[starts[c] + off:
+                                               starts[c] + off + size])
+                remaining -= size
+                if remaining == 0:
+                    break
+            else:
+                pending.append((size, c, off))
+        if remaining > 0 and pending:
+            # nothing fits the gap: split the largest pending cluster
+            # exactly at the boundary
+            size, c, off = pending.pop(0)
+            pieces.append(order_in_cluster[starts[c] + off:
+                                           starts[c] + off + remaining])
+            pending.append((size - remaining, c, off + remaining))
+            remaining = 0
+        for size, c, off in pending:
+            heapq.heappush(heap, (-size, c, off))
+        pending = []
+        remaining = slab_rows
+    return (np.concatenate(pieces) if pieces
+            else np.arange(0, dtype=np.int64))
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "window_id", "slab_id", "subblock", "local_src", "local_dst",
+        "weight", "remote",
+    ],
+    meta_fields=[
+        "window_rows", "block_rows", "chunk_edges", "chunks_per_step",
+        "slab_rows", "base_rows", "n_steps", "num_rows_out",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class SlabPlanSide:
+    """One direction (A or Aᵀ) of the slab SpMM.
+
+    Grid steps process ``chunks_per_step`` chunks of ≤``chunk_edges``
+    LOCAL edges each, all chunks of a step belonging to one (window,
+    slab); ``remote`` is the round-1 gather-path plan for cross-slab
+    edges (None when every edge is local)."""
+
+    window_id: jax.Array  # [n_steps] i32 output window (ascending)
+    slab_id: jax.Array  # [n_steps] i32 resident-range BASE (units of H)
+    subblock: jax.Array  # [n_steps, 1, Q] i32 sub-block within residency
+    local_src: jax.Array  # [n_steps, Q, C] i32 src row within sub-block
+    local_dst: jax.Array  # [n_steps, Q, C] i32 dst row within window
+    weight: jax.Array  # [n_steps, Q, C] f32 (0 = padding slot)
+    remote: Optional[ChunkPlan]
+    window_rows: int
+    block_rows: int
+    chunk_edges: int
+    chunks_per_step: int
+    slab_rows: int  # resident-range rows R (the VMEM scratch height)
+    base_rows: int  # base granularity H (R//H sliding positions)
+    n_steps: int
+    num_rows_out: int
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["fwd", "bwd", "w_self"],
+    meta_fields=["num_nodes", "n_pad"],
+)
+@dataclasses.dataclass(frozen=True)
+class SlabSpMM:
+    """Forward + transpose slab plans; self-loop weights are applied as a
+    plain elementwise ``w_self ⊙ x`` (no gather, no matmul)."""
+
+    fwd: SlabPlanSide
+    bwd: SlabPlanSide
+    w_self: jax.Array  # [n_pad] f32
+    num_nodes: int
+    n_pad: int
+
+
+def _build_side(
+    src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair
+) -> SlabPlanSide:
+    """Edges must be relabeled to the packed order and EXCLUDE self-loops.
+
+    Each output window gets a PER-WINDOW resident range: the R-row span
+    (at H-row granularity) covering the most of its in-edges' sources —
+    found by a sliding-window histogram, so it tracks the window's cluster
+    even when packing split the cluster across a slab boundary.  Edges
+    whose src falls in the range are LOCAL (one-hot matmuls against the
+    VMEM-resident span); the rest, plus (window, sub-block) groups smaller
+    than ``min_pair`` (their chunks would be mostly padding), go REMOTE
+    via the round-1 gather plan."""
+    n_windows = -(-n_pad // W)
+    win = dst // W
+    n_bins = n_pad // H
+    span = R // H
+    # histogram of src H-bins per window -> best R-row span per window
+    hist = np.zeros((n_windows, n_bins), dtype=np.int32)
+    np.add.at(hist, (win, src // H), 1)
+    sliding = np.cumsum(hist, axis=1)
+    pad = np.zeros((n_windows, 1), dtype=sliding.dtype)
+    sliding = np.concatenate([pad, sliding], axis=1)
+    cover = sliding[:, span:] - sliding[:, :-span]  # [n_windows, bins-span+1]
+    base = np.argmax(cover, axis=1).astype(np.int64)  # [n_windows]
+    # hysteresis: keep the previous window's base when it covers nearly as
+    # many sources — consecutive windows of one cluster then share one
+    # residency and the (R x F) slab DMA fires per CLUSTER, not per window
+    best = cover[np.arange(n_windows), base]
+    for w in range(1, n_windows):
+        pb = base[w - 1]
+        if cover[w, pb] >= 0.98 * best[w]:
+            base[w] = pb
+
+    ebase = base[win]
+    local = (src // H >= ebase) & (src // H < ebase + span)
+    # drop tiny (window, sub-block) groups to keep chunk fill high
+    if min_pair > 1:
+        lsub_all = (src - ebase * H) // B
+        key = win * (R // B + 1) + np.where(local, lsub_all, 0)
+        uniq, inv, cnt = np.unique(key[local], return_inverse=True,
+                                   return_counts=True)
+        small = np.zeros(len(src), dtype=bool)
+        small[local] = cnt[inv] < min_pair
+        local = local & ~small
+    ls, ld, lw = src[local], dst[local], weight[local]
+    rs, rd, rw = src[~local], dst[~local], weight[~local]
+
+    # ---- local: sort by (window, sub-block, src) and cut chunks ----
+    lwin = ld // W
+    lsub = (ls - base[lwin] * H) // B
+    ls_rel = (ls - base[lwin] * H) % B
+    order = np.lexsort((ls, lsub, lwin))
+    ls, ld, lw, lwin, lsub, ls_rel = (
+        ls[order], ld[order], lw[order], lwin[order], lsub[order],
+        ls_rel[order],
+    )
+    # group key changes -> chunk boundaries (also every C edges in-group)
+    n_local = len(ls)
+    if n_local:
+        new_group = np.empty(n_local, dtype=bool)
+        new_group[0] = True
+        new_group[1:] = (lwin[1:] != lwin[:-1]) | (lsub[1:] != lsub[:-1])
+        group_id = np.cumsum(new_group) - 1
+        pos_in_group = np.arange(n_local) - np.maximum.accumulate(
+            np.where(new_group, np.arange(n_local), 0)
+        )
+        chunk_of_edge = np.stack([group_id, pos_in_group // C])
+        # unique chunk per (group, k)
+        ckey = group_id * (1 + pos_in_group.max() // C + 1) + pos_in_group // C
+        _, chunk_idx, slot = np.unique(ckey, return_index=True,
+                                       return_inverse=True)
+        n_chunks = len(chunk_idx)
+        chunk_win = lwin[chunk_idx]
+        chunk_sub = lsub[chunk_idx]
+        slot_in_chunk = pos_in_group % C
+    else:
+        n_chunks = 0
+        chunk_win = np.zeros(0, dtype=np.int64)
+        chunk_sub = np.zeros(0, dtype=np.int64)
+
+    # ---- pack chunks into steps: Q chunks per step, one window per step,
+    # and EVERY window emits >= 1 step (its out block must be written) ----
+    steps_win, steps_chunks = [], []  # per step: window, list of chunk ids
+    ci = 0
+    for w in range(n_windows):
+        any_step = False
+        while ci < n_chunks and chunk_win[ci] == w:
+            take = []
+            while ci < n_chunks and chunk_win[ci] == w and len(take) < Q:
+                take.append(ci)
+                ci += 1
+            steps_win.append(w)
+            steps_chunks.append(take)
+            any_step = True
+        if not any_step:
+            steps_win.append(w)
+            steps_chunks.append([])
+    n_steps = len(steps_win)
+
+    subblock = np.zeros((n_steps, 1, Q), dtype=np.int32)
+    lsrc_a = np.zeros((n_steps, Q, C), dtype=np.int32)
+    ldst_a = np.zeros((n_steps, Q, C), dtype=np.int32)
+    wgt_a = np.zeros((n_steps, Q, C), dtype=np.float32)
+    if n_local:
+        # chunk -> (step, q) mapping
+        chunk_step = np.zeros(n_chunks, dtype=np.int64)
+        chunk_q = np.zeros(n_chunks, dtype=np.int64)
+        for s, take in enumerate(steps_chunks):
+            for q, c in enumerate(take):
+                chunk_step[c] = s
+                chunk_q[c] = q
+        e_chunk = slot  # chunk id per edge (via unique inverse)
+        e_step = chunk_step[e_chunk]
+        e_q = chunk_q[e_chunk]
+        subblock[chunk_step, 0, chunk_q] = chunk_sub.astype(np.int32)
+        lsrc_a[e_step, e_q, slot_in_chunk] = ls_rel.astype(np.int32)
+        ldst_a[e_step, e_q, slot_in_chunk] = (ld % W).astype(np.int32)
+        wgt_a[e_step, e_q, slot_in_chunk] = lw.astype(np.float32)
+
+    # ---- remote: round-1 gather plan over the padded node range.
+    # Small chunks: every window emits >= 1 chunk and PADDING SLOTS STILL
+    # GATHER (row 0), so with C=512 the mostly-empty windows inflated the
+    # row count ~1.4x — C=128 caps the waste at one part-chunk/window. ----
+    remote = None
+    if len(rs):
+        order = np.argsort(rd, kind="stable")
+        remote = _build_plan(
+            rs[order], rd[order], rw[order], n_pad,
+            chunk_edges=128, window_rows=128,
+        )
+
+    steps_win = np.asarray(steps_win, dtype=np.int64)
+    return SlabPlanSide(
+        window_id=jnp.asarray(steps_win.astype(np.int32)),
+        slab_id=jnp.asarray(base[steps_win].astype(np.int32)),
+        subblock=jnp.asarray(subblock),
+        local_src=jnp.asarray(lsrc_a),
+        local_dst=jnp.asarray(ldst_a),
+        weight=jnp.asarray(wgt_a),
+        remote=remote,
+        window_rows=W,
+        block_rows=B,
+        chunk_edges=C,
+        chunks_per_step=Q,
+        slab_rows=R,
+        base_rows=H,
+        n_steps=n_steps,
+        num_rows_out=n_windows * W,
+    )
+
+
+def build_slabs(
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_nodes: int,
+    *,
+    window_rows: int = 256,
+    block_rows: int = 256,
+    chunk_edges: int = 256,
+    chunks_per_step: int = 8,
+    slab_rows: int = 16384,
+    base_rows: int = 4096,
+    min_pair: int = 32,
+) -> SlabSpMM:
+    """Build fwd + transpose slab plans.  Edges must already be relabeled
+    into the packed (clustered) node order — see
+    :func:`reorder_for_slabs`.  ``slab_rows`` is the per-window RESIDENT
+    range (VMEM scratch height; base position chosen per window at
+    ``base_rows`` granularity).  Self-loop edges are pulled out into the
+    elementwise ``w_self`` path."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    weight = np.asarray(weight, dtype=np.float64)
+    H = min(base_rows, slab_rows)
+    R = slab_rows
+    n_pad = max(-(-num_nodes // H) * H, R)
+    window_rows = min(window_rows, R)
+    block_rows = min(block_rows, H)
+    assert R % H == 0 and R % block_rows == 0 and H % block_rows == 0
+
+    self_mask = src == dst
+    w_self = np.zeros(n_pad, dtype=np.float32)
+    np.add.at(w_self, src[self_mask], weight[self_mask])
+    src, dst, weight = src[~self_mask], dst[~self_mask], weight[~self_mask]
+
+    kw = dict(W=window_rows, B=block_rows, C=chunk_edges, Q=chunks_per_step,
+              R=R, H=H, min_pair=min_pair)
+    fwd = _build_side(src, dst, weight, n_pad, **kw)
+    bwd = _build_side(dst, src, weight, n_pad, **kw)
+    return SlabSpMM(
+        fwd=fwd, bwd=bwd, w_self=jnp.asarray(w_self),
+        num_nodes=int(num_nodes), n_pad=int(n_pad),
+    )
+
+
+def reorder_for_slabs(
+    edge_index: np.ndarray,
+    num_nodes: int,
+    *,
+    slab_rows: int = 8192,
+    iters: int = 40,
+    seed: int = 0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Cluster + pack: returns ``(perm, inv)`` with ``perm[new] = old``
+    and ``inv[old] = new``.  Relabel edges as ``inv[src], inv[dst]`` and
+    permute node-indexed arrays as ``arr[perm]``."""
+    src, dst = np.asarray(edge_index)
+    # self-loops bias every node toward keeping its own label and stall
+    # convergence — cluster on the loop-free edge list
+    m = src != dst
+    clusters = label_propagation(
+        src[m], dst[m], num_nodes, iters=iters,
+        max_size=num_nodes + 1, seed=seed,
+    )
+    perm = cluster_pack_perm(clusters, slab_rows)
+    inv = np.empty(num_nodes, dtype=np.int64)
+    inv[perm] = np.arange(num_nodes)
+    return perm, inv
+
+
+def locality_fraction(src, dst, slab_rows: int) -> float:
+    """Diagnostic: fraction of non-self edges whose endpoints share a slab."""
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    m = src != dst
+    if not m.any():
+        return 1.0
+    return float(
+        np.mean((src[m] // slab_rows) == (dst[m] // slab_rows))
+    )

@@ -1,0 +1,212 @@
+"""Slab SpMM: exactness vs the XLA segment-sum oracle (fwd + grad), the
+clustering/packing reorder, and plan invariants."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sgformer_tpu.kernels.slabs import (
+    build_slabs,
+    cluster_pack_perm,
+    label_propagation,
+    locality_fraction,
+    reorder_for_slabs,
+)
+from sgformer_tpu.kernels.slab_spmm import slab_spmm
+from sgformer_tpu.ops.spmm import spmm
+
+import reference_numpy as ref
+
+
+def _clustered_graph(rng, n=600, e=4000, k=6, homophily=0.85):
+    """Planted-partition edge list + gcn weights, dst-sorted, with
+    self-loops (the preprocess_graph output shape)."""
+    lab = rng.integers(0, k, n)
+    src = rng.integers(0, n, e)
+    same = rng.random(e) < homophily
+    partners = [np.nonzero(lab == c)[0] for c in range(k)]
+    dst_same = np.array([rng.choice(partners[lab[s]]) for s in src])
+    dst = np.where(same, dst_same, rng.integers(0, n, e))
+    both = np.concatenate(
+        [np.stack([src, dst]), np.stack([dst, src])], axis=1
+    )
+    loop = np.arange(n)
+    ei = np.concatenate([both, np.stack([loop, loop])], axis=1)
+    # dedupe
+    key = ei[1] * n + ei[0]
+    _, keep = np.unique(key, return_index=True)
+    ei = ei[:, keep]
+    order = np.argsort(ei[1], kind="stable")
+    s, d = ei[0][order], ei[1][order]
+    deg = np.bincount(d, minlength=n).astype(np.float64)
+    w = (1 / np.sqrt(deg[d] * deg[s])).astype(np.float32)
+    return s, d, w, lab
+
+
+PARAMS = dict(window_rows=64, block_rows=64, chunk_edges=128,
+              chunks_per_step=2, slab_rows=256)
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(7)
+    s, d, w, lab = _clustered_graph(rng)
+    n = 600
+    perm, inv = reorder_for_slabs(np.stack([s, d]), n, slab_rows=256,
+                                  iters=30)
+    s2, d2 = inv[s], inv[d]
+    order = np.argsort(d2, kind="stable")
+    s2, d2, w2 = s2[order], d2[order], w[order]
+    plan = build_slabs(s2, d2, w2, n, **PARAMS)
+    x = rng.standard_normal((n, 32)).astype(np.float32)
+    return s2, d2, w2, n, plan, x
+
+
+def test_reorder_improves_locality(problem):
+    s2, d2, w2, n, plan, x = problem
+    assert locality_fraction(s2, d2, 256) > 0.5
+
+
+def test_slab_fwd_exact_f32(problem):
+    s2, d2, w2, n, plan, x = problem
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.float32, interpret=True))
+    assert got.shape == (n, 32)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_slab_fwd_bf16_close(problem):
+    s2, d2, w2, n, plan, x = problem
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.bfloat16, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_slab_grad_exact_f32(problem):
+    s2, d2, w2, n, plan, x = problem
+    co = np.random.default_rng(3).standard_normal((n, 32)).astype(np.float32)
+
+    def f_slab(xx):
+        return jnp.sum(slab_spmm(xx, plan, compute_dtype=jnp.float32,
+                                 interpret=True) * co)
+
+    def f_ref(xx):
+        return jnp.sum(spmm(xx, jnp.asarray(s2), jnp.asarray(d2),
+                            jnp.asarray(w2), n) * co)
+
+    g1 = np.asarray(jax.grad(f_slab)(jnp.asarray(x)))
+    g2 = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(g1, g2, rtol=2e-5, atol=2e-5)
+
+
+def test_slab_under_jit_and_remat(problem):
+    """The plan is a pytree argument; jit + checkpoint re-tracing works."""
+    s2, d2, w2, n, plan, x = problem
+
+    @jax.jit
+    def step(xx, p):
+        f = jax.checkpoint(
+            lambda z: jnp.sum(
+                slab_spmm(z, p, compute_dtype=jnp.float32, interpret=True)
+                ** 2
+            )
+        )
+        return jax.grad(f)(xx)
+
+    g = step(jnp.asarray(x), plan)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_all_local_graph_has_no_remote():
+    """A graph with only intra-slab edges produces remote=None."""
+    rng = np.random.default_rng(0)
+    n = 256  # one slab
+    s = rng.integers(0, n, 900)
+    d = rng.integers(0, n, 900)
+    m = s != d
+    s, d = s[m], d[m]
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    w = np.ones(len(s), dtype=np.float32)
+    plan = build_slabs(s, d, w, n, **PARAMS)
+    assert plan.fwd.remote is None and plan.bwd.remote is None
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s), jnp.asarray(d),
+                           jnp.asarray(w), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_label_propagation_recovers_planted_partition():
+    rng = np.random.default_rng(5)
+    s, d, w, lab = _clustered_graph(rng, n=400, e=4000, k=4)
+    m = s != d
+    cl = label_propagation(s[m], d[m], 400, iters=40)
+    intra = np.mean(cl[s[m]] == cl[d[m]])
+    assert intra > 0.6, intra
+
+
+def test_cluster_pack_perm_is_permutation():
+    clusters = np.array([0, 1, 0, 2, 1, 1, 2, 0])
+    perm = cluster_pack_perm(clusters, 4)
+    assert sorted(perm.tolist()) == list(range(8))
+    # a maximum-size cluster comes first, and clusters stay contiguous
+    sizes = np.bincount(clusters)
+    assert sizes[clusters[perm[0]]] == sizes.max()
+    assert (np.diff(np.nonzero(np.diff(clusters[perm]))[0]) > 0).all()
+
+
+def test_trainer_slab_mode_matches_plain():
+    """End-to-end: slab-mode (clustering reorder + slab kernel) produces
+    the SAME logits per original node as the plain path — the forward is
+    permutation-equivariant and the Trainer maps indices correctly."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train import TrainConfig, Trainer
+
+    ds = synthetic_dataset(num_nodes=300, num_edges=2400, num_features=16,
+                           num_classes=4, seed=9)
+    g_plain = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    g_slab = preprocess_graph(
+        ds.graph["edge_index"], ds.num_nodes, with_chunks=True,
+        spmm_mode="slab", slab_rows=128, chunk_dtype="f32",
+        chunk_interpret=True,
+    )
+    assert g_slab.node_perm is not None
+
+    cfg = SGFormerConfig(16, 4, gnn="graphconv", trans_dropout=0.0,
+                         gnn_dropout=0.0)
+    model = SGFormer(cfg)
+    tc = TrainConfig(lr=0.01, epochs=1, eval_step=1, display_step=-1)
+    tr_plain = Trainer(model, g_plain, ds.graph["node_feat"], ds.label, tc)
+    tr_slab = Trainer(model, g_slab, ds.graph["node_feat"], ds.label, tc)
+
+    rng = jax.random.PRNGKey(0)
+    st_p, _, _ = tr_plain.init_state(rng)
+    st_s, tx, _ = tr_slab.init_state(rng)
+    # identical params (init depends on shapes + rng only)
+    for a, b in zip(jax.tree_util.tree_leaves(st_p["params"]),
+                    jax.tree_util.tree_leaves(st_s["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    _, ev_p = tr_plain._build_steps(tx)
+    _, ev_s = tr_slab._build_steps(tx)
+    out_p = np.asarray(ev_p(st_p))
+    out_s = np.asarray(ev_s(st_s))
+    perm = np.asarray(g_slab.node_perm)
+    np.testing.assert_allclose(out_s, out_p[perm], rtol=2e-4, atol=2e-4)
+
+    # and training end-to-end learns through the slab kernel
+    tc2 = TrainConfig(lr=0.02, epochs=25, eval_step=5, display_step=-1)
+    trainer = Trainer(model, g_slab, ds.graph["node_feat"], ds.label, tc2)
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.run_summary(0)["final_test"] > 0.5
