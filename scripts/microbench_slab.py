@@ -97,9 +97,11 @@ def main():
     xp = jnp.pad(x, ((0, plan.n_pad - x.shape[0]), (0, 0)))
 
     def local_loop(salt, xp, p):
+        prev0 = jnp.zeros((p.fwd.num_rows_out, xp.shape[1]), jnp.float32)
+
         def body(i, carry):
             x_c, acc = carry
-            out = _apply_local(x_c, p.fwd, jnp.bfloat16, False)
+            out = _apply_local(x_c, prev0, p.fwd, jnp.bfloat16, False)
             probe = jnp.sum(out) + salt
             return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
         return jax.lax.fori_loop(0, K, body, (xp, salt))[1]

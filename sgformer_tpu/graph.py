@@ -203,6 +203,7 @@ def preprocess_graph(
     chunk_interpret: bool = False,
     spmm_mode: str = "chunks",
     slab_rows: int = 16384,
+    reorder: bool = False,
     dtype=np.float32,
 ) -> Graph:
     """One-time preprocessing pipeline (reference: ``large/main.py:74-79``):
@@ -233,6 +234,17 @@ def preprocess_graph(
             slab_rows = min(slab_rows, 8192)
         perm, inv = reorder_for_slabs(
             edge_index, num_nodes, slab_rows=slab_rows
+        )
+        edge_index = np.stack([inv[edge_index[0]], inv[edge_index[1]]])
+        node_perm = perm
+    elif reorder:
+        # cluster-contiguous relabel WITHOUT slab plans: contiguous-block
+        # sharding then aligns shards with communities, shrinking the halo
+        # exchange's edge cut (docs/MULTIHOST.md)
+        from sgformer_tpu.kernels.slabs import reorder_for_slabs
+
+        perm, inv = reorder_for_slabs(
+            edge_index, num_nodes, slab_rows=num_nodes
         )
         edge_index = np.stack([inv[edge_index[0]], inv[edge_index[1]]])
         node_perm = perm

@@ -35,7 +35,8 @@ from sgformer_tpu.graph import Graph
     jax.tree_util.register_dataclass,
     data_fields=[
         "src", "dst", "weight", "pyg_src", "pyg_dst", "pyg_weight",
-        "chunks_fwd", "chunks_bwd", "halo_send_idx", "halo_gather",
+        "chunks_fwd", "chunks_bwd", "halo_send_idx", "halo_local",
+        "halo_remote",
     ],
     meta_fields=[
         "num_nodes", "total_nodes", "num_shards", "axis_name",
@@ -81,10 +82,15 @@ class ShardGraph:
     chunk_dtype: str = "bf16"
     chunk_interpret: bool = False
     # Halo exchange (boundary-row all-to-all instead of the full activation
-    # all_gather): send_idx [S, S, H] local rows shard i ships to shard j;
-    # halo_gather [S, E] edge-source indices into [local rows ++ halo rows].
+    # all_gather): send_idx [S, S, H] local rows shard i ships to shard j.
+    # Edges are SPLIT into a local set (sources in this shard's rows) and a
+    # halo set (sources in the received [S*H] table) so the all_to_all can
+    # OVERLAP the local aggregation (XLA async collectives; SURVEY §2.5's
+    # comm/compute-overlap mandate at the XLA level).  Each is a
+    # (src_or_gather, dst, weight) triple, dst-sorted, weight-0 padded.
     halo_send_idx: Optional[jax.Array] = None
-    halo_gather: Optional[jax.Array] = None
+    halo_local: Optional[tuple] = None
+    halo_remote: Optional[tuple] = None
     halo_rows: int = 0
 
     def local(self) -> "ShardGraph":
@@ -105,7 +111,8 @@ class ShardGraph:
             chunks_fwd=sqt(self.chunks_fwd, (2, 2, 2, 1)),
             chunks_bwd=sqt(self.chunks_bwd, (2, 2, 2, 1)),
             halo_send_idx=sq(self.halo_send_idx, 2),
-            halo_gather=sq(self.halo_gather, 1),
+            halo_local=sqt(self.halo_local, (1, 1, 1)),
+            halo_remote=sqt(self.halo_remote, (1, 1, 1)),
         )
 
     def propagate(self, x: jax.Array, kind: str = "gcn") -> jax.Array:
@@ -131,24 +138,28 @@ class ShardGraph:
         )
 
     def _halo_propagate(self, x: jax.Array) -> jax.Array:
-        """Boundary-row exchange (SURVEY.md §7 step 5): each shard ships the
-        rows its peers' edges reference ([S, H, F] all-to-all over ICI),
-        builds the [B + S·H, F] lookup table of local+halo rows, and
-        aggregates its dst-sorted edges locally.  Differentiable end to end
-        (all_to_all transposes to all_to_all)."""
+        """Boundary-row exchange (SURVEY.md §7 step 5): ship the rows each
+        peer's edges reference ([S, H, F] all-to-all over ICI), aggregate
+        the LOCAL-source edges while the exchange is in flight (the two are
+        independent, so XLA's async collectives overlap them), then fold in
+        the halo-source edges from the received table.  Differentiable end
+        to end (all_to_all transposes to all_to_all)."""
         buf = jnp.take(x, self.halo_send_idx, axis=0)  # [S, H, F]
         recv = jax.lax.all_to_all(
             buf, self.axis_name, split_axis=0, concat_axis=0, tiled=False
         )  # [S, H, F]: slot i holds rows from shard i
-        table = jnp.concatenate(
-            [x, recv.reshape(-1, x.shape[-1])], axis=0
+        lsrc, ldst, lw = self.halo_local
+        out = jax.ops.segment_sum(
+            jnp.take(x, lsrc, axis=0) * lw[:, None].astype(x.dtype),
+            ldst, num_segments=self.num_nodes, indices_are_sorted=True,
         )
-        msgs = jnp.take(table, self.halo_gather, axis=0) * self.weight[
-            :, None
-        ].astype(x.dtype)
-        return jax.ops.segment_sum(
-            msgs, self.dst, num_segments=self.num_nodes, indices_are_sorted=True
+        hg, hdst, hw = self.halo_remote
+        table = recv.reshape(-1, x.shape[-1])
+        out = out + jax.ops.segment_sum(
+            jnp.take(table, hg, axis=0) * hw[:, None].astype(x.dtype),
+            hdst, num_segments=self.num_nodes, indices_are_sorted=True,
         )
+        return out
 
     def _chunked_propagate(self, x_full: jax.Array) -> jax.Array:
         import jax.numpy as _jnp
@@ -266,15 +277,16 @@ def _shard_chunk_plans(
     return stack(fwd_plans), stack(bwd_plans)
 
 
-def _build_halo(s_src: np.ndarray, block: int, num_shards: int):
-    """Halo plans from the per-shard global-src edge arrays.
+def _build_halo(s_src: np.ndarray, s_dst: np.ndarray, s_w: np.ndarray,
+                block: int, num_shards: int):
+    """Halo plans from the per-shard edge arrays.
 
-    Returns (send_idx [S, S, H], halo_gather [S, E], H): shard i sends its
-    rows ``send_idx[i][j]`` to shard j; shard j's edge e reads table row
-    ``halo_gather[j][e]`` of [its B local rows ++ S·H received rows].
-    Traffic per step = S·H·F rows instead of the all_gather's total_nodes·F
-    — proportional to the partition's edge cut, which clustering/RCM
-    minimizes (docs/MULTIHOST.md)."""
+    Returns (send_idx [S, S, H], halo_local, halo_remote, H): shard i
+    sends its rows ``send_idx[i][j]`` to shard j; the local set's sources
+    index this shard's own rows, the halo set's index the [S*H] received
+    table.  Traffic per step = S·H·F rows instead of the all_gather's
+    total_nodes·F — proportional to the partition's edge cut, which the
+    clustering reorder minimizes (docs/MULTIHOST.md)."""
     S = num_shards
     E = s_src.shape[1]
     need = [[np.empty(0, np.int64)] * S for _ in range(S)]
@@ -294,23 +306,44 @@ def _build_halo(s_src: np.ndarray, block: int, num_shards: int):
                 continue
             vs = need[i][j]
             send_idx[i, j, : len(vs)] = vs - i * block
-    halo_gather = np.zeros((S, E), dtype=np.int32)
+    # split each shard's dst-sorted edges into local-source vs halo-source
+    # sets (padded to per-set maxima): the local set aggregates while the
+    # all_to_all is in flight
+    loc_sets, halo_sets = [], []
     for j in range(S):
         src_j = s_src[j].astype(np.int64)
         owners = src_j // block
-        g = np.empty(E, dtype=np.int64)
         local = owners == j
-        g[local] = src_j[local] - j * block
+        loc_sets.append((src_j[local] - j * block, s_dst[j][local],
+                         s_w[j][local]))
+        g = np.empty(int((~local).sum()), dtype=np.int64)
+        pos = 0
+        hdst = s_dst[j][~local]
+        hw = s_w[j][~local]
+        src_h = src_j[~local]
+        owners_h = owners[~local]
         for i in range(S):
             if i == j:
                 continue
-            m = owners == i
-            if not m.any():
-                continue
-            k = np.searchsorted(need[i][j], src_j[m])
-            g[m] = block + i * H + k
-        halo_gather[j] = g
-    return send_idx, halo_gather, H
+            m = owners_h == i
+            if m.any():
+                g[m] = i * H + np.searchsorted(need[i][j], src_h[m])
+        halo_sets.append((g, hdst, hw))
+
+    def _pad_sets(sets, fill_dst):
+        cap = max(1, max(len(t[0]) for t in sets))
+        a = np.zeros((S, cap), dtype=np.int32)
+        d = np.full((S, cap), fill_dst, dtype=np.int32)
+        w = np.zeros((S, cap), dtype=np.float32)
+        for i, (gi, di, wi) in enumerate(sets):
+            a[i, : len(gi)] = gi
+            d[i, : len(di)] = di
+            w[i, : len(wi)] = wi
+        return a, d, w
+
+    halo_local = _pad_sets(loc_sets, block - 1)
+    halo_remote = _pad_sets(halo_sets, block - 1)
+    return send_idx, halo_local, halo_remote, H
 
 
 def partition_graph(
@@ -346,11 +379,11 @@ def partition_graph(
             src, dst, w, indptr, num_shards, block, total, n,
             chunk_edges, window_rows,
         )
-    halo_send = halo_gather = None
+    halo_send = halo_local = halo_remote = None
     halo_rows = 0
     if with_halo:
-        halo_send, halo_gather, halo_rows = _build_halo(
-            s_src, block, num_shards
+        halo_send, halo_local, halo_remote, halo_rows = _build_halo(
+            s_src, s_dst, s_w, block, num_shards
         )
 
     pyg = (None, None, None)
@@ -381,7 +414,14 @@ def partition_graph(
         chunk_dtype=chunk_dtype,
         chunk_interpret=chunk_interpret,
         halo_send_idx=None if halo_send is None else jnp.asarray(halo_send),
-        halo_gather=None if halo_gather is None else jnp.asarray(halo_gather),
+        halo_local=(
+            None if halo_local is None
+            else tuple(jnp.asarray(a) for a in halo_local)
+        ),
+        halo_remote=(
+            None if halo_remote is None
+            else tuple(jnp.asarray(a) for a in halo_remote)
+        ),
         halo_rows=int(halo_rows),
     )
 

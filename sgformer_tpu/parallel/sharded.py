@@ -142,7 +142,7 @@ class ShardedTrainer(Trainer):
         axis_name: str = "sp",
         eval_func=None,
         use_pallas: bool = False,
-        use_halo: bool = False,
+        use_halo: bool = True,
         chunk_dtype: str = "bf16",
     ):
         mesh = mesh if mesh is not None else make_mesh(axis_names=(axis_name,))
@@ -150,6 +150,14 @@ class ShardedTrainer(Trainer):
         self.axis_name = axis_name
         num_shards = int(mesh.shape[axis_name])
         self.num_real_nodes = graph.num_nodes
+        # clustering reorder (preprocess_graph(reorder=True)): permute the
+        # node-indexed data up front; Trainer's _map_idx plumbing handles
+        # the split indices via _inv_perm set below
+        perm = getattr(graph, "node_perm", None)
+        if perm is not None:
+            perm = np.asarray(perm)
+            x = np.asarray(x)[perm]
+            label = np.asarray(label)[perm]
         shard_graph = partition_graph(
             graph, num_shards, axis_name,
             with_chunks=use_pallas, with_halo=use_halo,
@@ -158,6 +166,9 @@ class ShardedTrainer(Trainer):
         )
         x_pad = pad_to_shards(np.asarray(x), shard_graph.total_nodes)
         super().__init__(model, shard_graph, x_pad, label, config, eval_func)
+        if perm is not None:
+            self._inv_perm = np.empty(len(perm), dtype=np.int64)
+            self._inv_perm[perm] = np.arange(len(perm))
         self.node_mask = jnp.asarray(
             node_mask_for(self.num_real_nodes, shard_graph.total_nodes)
         )
@@ -234,5 +245,6 @@ class ShardedTrainer(Trainer):
 
     def _prepare_train_idx(self, split_idx):
         return jnp.asarray(
-            idx_to_mask(split_idx["train"], self.graph.total_nodes)
+            idx_to_mask(self._map_idx(split_idx["train"]),
+                        self.graph.total_nodes)
         )

@@ -422,3 +422,47 @@ def test_halo_volume_shrinks_with_clustering():
     halo_volume = 8 * 8 * sg.halo_rows  # rows exchanged per step
     allgather_volume = 8 * sg.total_nodes
     assert halo_volume < allgather_volume, (halo_volume, allgather_volume)
+
+
+def test_reorder_flag_shrinks_halo_volume():
+    """preprocess_graph(reorder=True): the structural clustering reorder
+    (no label access) aligns contiguous shards with communities, so halo
+    traffic drops vs the unordered partition (VERDICT r1 task 6)."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset(num_nodes=800, num_edges=6000, num_features=4,
+                           num_classes=8, seed=7, homophily=0.95)
+    g_plain = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    g_re = preprocess_graph(ds.graph["edge_index"], ds.num_nodes,
+                            reorder=True)
+    assert g_re.node_perm is not None
+    sg_plain = partition_graph(g_plain, 8, "sp", with_halo=True)
+    sg_re = partition_graph(g_re, 8, "sp", with_halo=True)
+    assert sg_re.halo_rows < sg_plain.halo_rows, (
+        sg_re.halo_rows, sg_plain.halo_rows
+    )
+    # and far below the all_gather volume
+    assert 8 * 8 * sg_re.halo_rows < 8 * sg_re.total_nodes
+
+
+def test_sharded_trainer_reordered_graph_learns():
+    """End-to-end sharded training THROUGH the reorder: split indices and
+    labels map through the permutation, halo on by default."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset(num_nodes=200, num_edges=1600, num_features=16,
+                           num_classes=4, seed=3)
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes, reorder=True)
+    cfg = SGFormerConfig(32, 4, gnn="graphconv", axis_name="sp",
+                         trans_dropout=0.1, gnn_dropout=0.1)
+    model = SGFormer(cfg)
+    tc = TrainConfig(lr=0.01, epochs=30, eval_step=5, runs=1,
+                     display_step=-1)
+    trainer = ShardedTrainer(
+        model, g, ds.graph["node_feat"], ds.label, tc,
+        mesh=make_mesh((N_DEV,), ("sp",)),
+    )
+    assert trainer.graph.halo_send_idx is not None  # halo default ON
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    assert logger.run_summary(0)["final_test"] > 0.5
