@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def main():
+def main(dry: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -40,6 +40,9 @@ def main():
 
     num_nodes = 169_343
     num_directed_edges = 1_166_243
+    if dry:
+        # CI smoke: same code path end-to-end at toy scale (CPU-friendly)
+        num_nodes, num_directed_edges = 2_000, 12_000
     ds = synthetic_dataset(
         num_nodes=num_nodes,
         num_edges=num_directed_edges,
@@ -47,7 +50,12 @@ def main():
         num_classes=40,
         seed=0,
     )
-    graph = preprocess_graph(ds.graph["edge_index"], num_nodes, with_chunks=True)
+    # slab mode: clustering reorder (~50 s host, one-time preprocessing like
+    # the reference's to_undirected pass) + gather-free local aggregation
+    graph = preprocess_graph(
+        ds.graph["edge_index"], num_nodes, with_chunks=True,
+        spmm_mode="slab",
+    )
 
     cfg = SGFormerConfig.large(
         256, 40, trans_num_layers=1, gnn_num_layers=3, graph_weight=0.5,
@@ -66,7 +74,7 @@ def main():
     state, opt_state, loss = train_step(state, opt_state, rng, train_idx)
     jax.block_until_ready(loss)
 
-    steps = 30
+    steps = 2 if dry else 30
     t0 = time.perf_counter()
     for i in range(steps):
         rng, drop = jax.random.split(rng)
@@ -96,4 +104,6 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(dry="--dry" in sys.argv[1:])

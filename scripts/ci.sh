@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# CI entry (VERDICT round-1 task 10): full test suite + bench smoke +
+# on-chip kernel regression gate (the gate self-skips without a TPU).
+#
+#   bash scripts/ci.sh            # CPU suite + dry bench (+ TPU gate if attached)
+#   CI_SKIP_TPU=1 bash scripts/ci.sh   # skip the on-chip gate explicitly
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest (CPU, 8-device virtual mesh) =="
+python -m pytest tests/ -q
+
+echo "== bench.py --dry (end-to-end bench path smoke) =="
+python bench.py --dry
+
+if [[ "${CI_SKIP_TPU:-0}" != "1" ]]; then
+  echo "== on-chip Pallas kernel gate (compiled-vs-oracle) =="
+  PYTHONPATH="$PWD:/root/.axon_site" python scripts/verify_kernels.py
+fi
+
+echo "CI OK"

@@ -185,6 +185,46 @@ def main():
     jax.block_until_ready(out)
     print(f"eval fwd: {(time.perf_counter()-t0)/10*1e3:7.2f} ms", flush=True)
 
+    # ---- slab-mode pieces + full train step (bench.py's current path) ----
+    from sgformer_tpu.kernels.slab_spmm import slab_spmm
+
+    t0 = time.time()
+    gslab = preprocess_graph(ds.graph["edge_index"], N, with_chunks=True,
+                             spmm_mode="slab")
+    print(f"slab preprocess: {time.time()-t0:.1f}s", flush=True)
+
+    def sspmm_grad_loop(salt, x, g):
+        def one(xx):
+            return jnp.sum(slab_spmm(xx, g.chunks,
+                                     compute_dtype=jnp.bfloat16))
+
+        def body(i, carry):
+            x_c, acc = carry
+            l, dx = jax.value_and_grad(one)(x_c)
+            probe = l + jnp.sum(dx.astype(jnp.float32)) * 0 + salt
+            return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
+        return jax.lax.fori_loop(0, K, body, (x, salt))[1]
+
+    ms = timed(sspmm_grad_loop, x256, gslab)
+    print(f"slab_spmm fwd+bwd bf16: {ms:7.2f} ms", flush=True)
+
+    trainer2 = Trainer(SGFormer(cfg), gslab, ds.graph["node_feat"],
+                       ds.label, tc)
+    state2, tx2, opt_state2 = trainer2.init_state(rngk)
+    train_step2, eval_step2 = trainer2._build_steps(tx2)
+    state2, opt_state2, loss2 = train_step2(state2, opt_state2, rngk,
+                                            train_idx)
+    jax.block_until_ready(loss2)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        rngk, drop = jax.random.split(rngk)
+        state2, opt_state2, loss2 = train_step2(state2, opt_state2, drop,
+                                                train_idx)
+    jax.block_until_ready(loss2)
+    dt = (time.perf_counter() - t0) / steps
+    print(f"full train step (slab): {dt*1e3:7.2f} ms"
+          f" ({gslab.num_edges/dt/1e6:.1f} Medges/s)", flush=True)
+
 
 if __name__ == "__main__":
     main()

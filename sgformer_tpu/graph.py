@@ -202,7 +202,8 @@ def preprocess_graph(
     chunk_dtype: str = "bf16",
     chunk_interpret: bool = False,
     spmm_mode: str = "chunks",
-    slab_rows: int = 16384,
+    slab_rows: int = 24576,
+    slab_geometry: dict | None = None,
     reorder: bool = False,
     dtype=np.float32,
 ) -> Graph:
@@ -264,11 +265,11 @@ def preprocess_graph(
         from sgformer_tpu.kernels.slabs import build_slabs
 
         chunks = build_slabs(src, dst, weight, num_nodes,
-                             slab_rows=slab_rows)
+                             slab_rows=slab_rows, **(slab_geometry or {}))
         if pyg_np is not None:
             pyg_chunks = build_slabs(
                 pyg_np[0], pyg_np[1], pyg_np[2], num_nodes,
-                slab_rows=slab_rows,
+                slab_rows=slab_rows, **(slab_geometry or {}),
             )
     elif with_chunks:
         from sgformer_tpu.kernels.chunks import build_chunks

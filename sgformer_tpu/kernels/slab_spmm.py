@@ -33,7 +33,7 @@ from sgformer_tpu.kernels.spmm import _apply_plan, _zero_cotangent
 
 def _slab_kernel(
     win_ref, slab_ref,  # scalar prefetch: [n_steps] window / slab ids
-    sub_ref, lsrc_ref, ldst_ref, w_ref, prev_ref, x_any, out_ref,
+    sub_ref, meta_ref, prev_ref, x_any, out_ref,
     slab_scratch, dma_sem,
     *, Q, C, B, W, R, H, compute_dtype,
 ):
@@ -62,15 +62,19 @@ def _slab_kernel(
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    lv = lsrc_ref[0]  # [Q, C] int32 — slot indices live in LANES
-    dv = ldst_ref[0]
-    wv = w_ref[0]
-    acc = jnp.zeros((W, out_ref.shape[1]), dtype=jnp.float32)
+    # ONE packed metadata stream [3Q, C] int32 (lsrc | ldst | bitcast w):
+    # three separate block pipelines cost ~3x the per-step DMA bookkeeping
+    mv = meta_ref[0]  # [3Q, C] int32 — slot indices/weights live in LANES
+    msgs_all = []
+    sel_all = []
     for q in range(Q):
         sub = sub_ref[0, 0, q]  # SMEM scalar: sub-block within slab
-        lsrc = jax.lax.slice(lv, (q, 0), (q + 1, C))  # [1, C]
-        ldst = jax.lax.slice(dv, (q, 0), (q + 1, C))
-        w = jax.lax.slice(wv, (q, 0), (q + 1, C))
+        lsrc = jax.lax.slice(mv, (q, 0), (q + 1, C))  # [1, C]
+        ldst = jax.lax.slice(mv, (Q + q, 0), (Q + q + 1, C))
+        w = jax.lax.bitcast_convert_type(
+            jax.lax.slice(mv, (2 * Q + q, 0), (2 * Q + q + 1, C)),
+            jnp.float32,
+        )
         # TRANSPOSED weighted src one-hot [B, C]: column c holds w[c] at
         # row lsrc[c] (indices broadcast along sublanes, the layout the
         # VPU compare supports); the MXU contracts over B directly.
@@ -81,22 +85,27 @@ def _slab_kernel(
             0.0,
         ).astype(compute_dtype)
         blk = slab_scratch[pl.ds(pl.multiple_of(sub * B, B), B), :]
-        msgs = jax.lax.dot_general(
+        msgs_all.append(jax.lax.dot_general(
             sel_src_t, blk.astype(compute_dtype),
             (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        )  # [C, F] f32
+        ).astype(compute_dtype))  # [C, F]
         # dst one-hot [W, C]: row r holds 1 where ldst[c] == r
-        sel_dst = jnp.where(
+        sel_all.append(jnp.where(
             jnp.broadcast_to(ldst, (W, C))
             == jax.lax.broadcasted_iota(jnp.int32, (W, C), 0),
             1.0,
             0.0,
-        ).astype(compute_dtype)
-        acc = acc + jnp.dot(
-            sel_dst, msgs.astype(compute_dtype),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        ).astype(compute_dtype))
+    # ONE [W, Q·C] x [Q·C, F] dst matmul per step: K = Q·C keeps the MXU's
+    # 128-deep contraction pipeline full even at small per-chunk C (the
+    # per-chunk form pays the pipeline fill Q times with K = C).
+    acc = jax.lax.dot_general(
+        jnp.concatenate(sel_all, axis=1),
+        jnp.concatenate(msgs_all, axis=0),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
 
     # First window visit seeds the block from ``prev`` (the remote-path
     # partial) — the separate local+remote add pass and its extra HBM
@@ -127,9 +136,7 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
                 (1, 1, Q), lambda i, win, slab: (i, 0, 0),
                 memory_space=pltpu.SMEM,
             ),
-            pl.BlockSpec((1, Q, C), lambda i, win, slab: (i, 0, 0)),
-            pl.BlockSpec((1, Q, C), lambda i, win, slab: (i, 0, 0)),
-            pl.BlockSpec((1, Q, C), lambda i, win, slab: (i, 0, 0)),
+            pl.BlockSpec((1, 3 * Q, C), lambda i, win, slab: (i, 0, 0)),
             pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
@@ -156,8 +163,7 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(side.window_id, side.slab_id, side.subblock, side.local_src,
-      side.local_dst, side.weight, prev, x_pad)
+    )(side.window_id, side.slab_id, side.subblock, side.meta, prev, x_pad)
 
 
 def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
@@ -177,7 +183,11 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
     rows_out = side.num_rows_out
     if side.remote is not None:
         prev = _apply_plan(xc, side.remote, compute_dtype, interpret)
-        if prev.shape[0] != rows_out:
+        if prev.shape[0] > rows_out:
+            # remote windows are coarser than local ones; trailing rows are
+            # padding past n_pad and carry only zero-weight slots
+            prev = prev[:rows_out]
+        elif prev.shape[0] < rows_out:
             prev = jnp.pad(prev, ((0, rows_out - prev.shape[0]), (0, 0)))
     else:
         prev = jnp.zeros((rows_out, x.shape[1]), jnp.float32)

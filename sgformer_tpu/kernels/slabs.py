@@ -130,8 +130,7 @@ def cluster_pack_perm(clusters: np.ndarray, slab_rows: int) -> np.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "window_id", "slab_id", "subblock", "local_src", "local_dst",
-        "weight", "remote",
+        "window_id", "slab_id", "subblock", "meta", "remote",
     ],
     meta_fields=[
         "window_rows", "block_rows", "chunk_edges", "chunks_per_step",
@@ -150,9 +149,10 @@ class SlabPlanSide:
     window_id: jax.Array  # [n_steps] i32 output window (ascending)
     slab_id: jax.Array  # [n_steps] i32 resident-range BASE (units of H)
     subblock: jax.Array  # [n_steps, 1, Q] i32 sub-block within residency
-    local_src: jax.Array  # [n_steps, Q, C] i32 src row within sub-block
-    local_dst: jax.Array  # [n_steps, Q, C] i32 dst row within window
-    weight: jax.Array  # [n_steps, Q, C] f32 (0 = padding slot)
+    # [n_steps, 3Q, C] i32: rows [0,Q) src-within-sub-block, [Q,2Q)
+    # dst-within-window, [2Q,3Q) f32 weight bitcast (0 = padding slot) —
+    # one packed stream so the kernel pipelines ONE metadata DMA per step
+    meta: jax.Array
     remote: Optional[ChunkPlan]
     window_rows: int
     block_rows: int
@@ -182,7 +182,8 @@ class SlabSpMM:
 
 
 def _build_side(
-    src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair
+    src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair,
+    remote_window_rows=1024, remote_chunk_edges=1024,
 ) -> SlabPlanSide:
     """Edges must be relabeled to the packed order and EXCLUDE self-loops.
 
@@ -302,25 +303,27 @@ def _build_side(
         wgt_a[e_step, e_q, slot_in_chunk] = lw.astype(np.float32)
 
     # ---- remote: round-1 gather plan over the padded node range.
-    # Small chunks: every window emits >= 1 chunk and PADDING SLOTS STILL
-    # GATHER (row 0), so with C=512 the mostly-empty windows inflated the
-    # row count ~1.4x — C=128 caps the waste at one part-chunk/window. ----
+    # LARGE windows/chunks: the chunk kernel runs ONE chunk per grid step,
+    # so at C=128 the ~1 µs/step overhead dominated (measured 16.7 ns/edge
+    # vs the 7.4 ns gather floor).  W=C=1024 cuts steps ~8x at ~89% fill
+    # (remote edges average ~300/1024-row window on the bench graph). ----
     remote = None
     if len(rs):
         order = np.argsort(rd, kind="stable")
         remote = _build_plan(
             rs[order], rd[order], rw[order], n_pad,
-            chunk_edges=128, window_rows=128,
+            chunk_edges=remote_chunk_edges, window_rows=remote_window_rows,
         )
 
     steps_win = np.asarray(steps_win, dtype=np.int64)
+    meta = np.concatenate(
+        [lsrc_a, ldst_a, wgt_a.view(np.int32)], axis=1
+    )  # [n_steps, 3Q, C] i32
     return SlabPlanSide(
         window_id=jnp.asarray(steps_win.astype(np.int32)),
         slab_id=jnp.asarray(base[steps_win].astype(np.int32)),
         subblock=jnp.asarray(subblock),
-        local_src=jnp.asarray(lsrc_a),
-        local_dst=jnp.asarray(ldst_a),
-        weight=jnp.asarray(wgt_a),
+        meta=jnp.asarray(meta),
         remote=remote,
         window_rows=W,
         block_rows=B,
@@ -339,13 +342,15 @@ def build_slabs(
     weight: np.ndarray,
     num_nodes: int,
     *,
-    window_rows: int = 256,
-    block_rows: int = 256,
-    chunk_edges: int = 256,
-    chunks_per_step: int = 8,
+    window_rows: int = 128,
+    block_rows: int = 128,
+    chunk_edges: int = 64,
+    chunks_per_step: int = 32,
     slab_rows: int = 16384,
     base_rows: int = 4096,
-    min_pair: int = 32,
+    min_pair: int = 8,
+    remote_window_rows: int = 1024,
+    remote_chunk_edges: int = 1024,
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
     into the packed (clustered) node order — see
@@ -369,7 +374,9 @@ def build_slabs(
     src, dst, weight = src[~self_mask], dst[~self_mask], weight[~self_mask]
 
     kw = dict(W=window_rows, B=block_rows, C=chunk_edges, Q=chunks_per_step,
-              R=R, H=H, min_pair=min_pair)
+              R=R, H=H, min_pair=min_pair,
+              remote_window_rows=remote_window_rows,
+              remote_chunk_edges=remote_chunk_edges)
     fwd = _build_side(src, dst, weight, n_pad, **kw)
     bwd = _build_side(dst, src, weight, n_pad, **kw)
     return SlabSpMM(
