@@ -50,11 +50,13 @@ def main(dry: bool = False):
         num_classes=40,
         seed=0,
     )
-    # slab mode: clustering reorder (~50 s host, one-time preprocessing like
-    # the reference's to_undirected pass) + gather-free local aggregation
+    # ssel slab mode: clustering reorder (~50 s host, one-time preprocessing
+    # like the reference's to_undirected pass) + gather-free local
+    # aggregation with host-prebuilt streamed selectors (geometry sweep:
+    # scripts/microbench_slab_geom.py)
     graph = preprocess_graph(
         ds.graph["edge_index"], num_nodes, with_chunks=True,
-        spmm_mode="slab",
+        spmm_mode="ssel",
     )
 
     cfg = SGFormerConfig.large(

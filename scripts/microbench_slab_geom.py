@@ -2,22 +2,28 @@
 
 One shared clustering reorder; per-geometry plans; times the COMBINED
 slab_spmm (local + remote + self) which is the decision metric, plus the
-local/remote parts for the leader.  Salted fori-loop protocol (CLAUDE.md).
+local/remote parts for each candidate.  Covers both metadata encodings:
+in-kernel one-hot builds ("meta") and host-prebuilt streamed selectors
+("ssel").  Salted fori-loop protocol (CLAUDE.md).
 Run alone: PYTHONPATH=/root/repo:/root/.axon_site.
 """
 
+import gc
 import time
 
 import numpy as np
 
 K = 10
 
+# (name, W, B, C, Q, R, mp, stream_sel, remW, remC)
 GEOMS = [
-    # (name, W, B, C, Q, R, mp) — remote plan W=C=1024; packed metadata
-    ("P1 W256B256C64Q32 R24K mp8", 256, 256, 64, 32, 24576, 8),
-    ("P2 W128B128C64Q32 R24K mp8", 128, 128, 64, 32, 24576, 8),
-    ("P3 W256B256C64Q16 R24K mp8", 256, 256, 64, 16, 24576, 8),
-    ("P4 W256B256C128Q16 R24K mp8", 256, 256, 128, 16, 24576, 8),
+    ("meta W128B128C64Q32 R24K", 128, 128, 64, 32, 24576, 8, None, 1024, 1024),
+    ("ssel W128B128C32Q32 R16K", 128, 128, 32, 32, 16384, 8, "bf16", 1024, 1024),
+    ("ssel W128B128C32Q32 R24K", 128, 128, 32, 32, 24576, 8, "bf16", 1024, 1024),
+    ("ssel W128B128C64Q16 R24K", 128, 128, 64, 16, 24576, 8, "bf16", 1024, 1024),
+    ("ssel W128B256C32Q32 R24K", 128, 256, 32, 32, 24576, 8, "bf16", 1024, 1024),
+    ("ssel W128B128C32Q32 R24K remW512", 128, 128, 32, 32, 24576, 8, "bf16",
+     512, 512),
 ]
 
 
@@ -35,8 +41,9 @@ def main():
     from sgformer_tpu.graph import (add_self_loops, gcn_norm_weights,
                                     remove_self_loops, sort_by_dst,
                                     to_undirected)
-    from sgformer_tpu.kernels.slab_spmm import slab_spmm
+    from sgformer_tpu.kernels.slab_spmm import (_apply_local, slab_spmm)
     from sgformer_tpu.kernels.slabs import build_slabs, reorder_for_slabs
+    from sgformer_tpu.kernels.spmm import _apply_plan
 
     N, E_dir = 169_343, 1_166_243
     ds = synthetic_dataset(num_nodes=N, num_edges=E_dir, num_features=8,
@@ -79,12 +86,13 @@ def main():
             return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
         return jax.lax.fori_loop(0, K, body, (x, salt))[1]
 
-    best = None
-    for name, W, B, C, Q, R, mp in GEOMS:
+    for name, W, B, C, Q, R, mp, ssel, remW, remC in GEOMS:
         t0 = time.time()
         plan = build_slabs(
             src, dst, weight, N, window_rows=W, block_rows=B,
             chunk_edges=C, chunks_per_step=Q, slab_rows=R, min_pair=mp,
+            stream_sel=ssel, remote_window_rows=remW,
+            remote_chunk_edges=remC,
         )
         tb = time.time() - t0
         nrem = (0 if plan.fwd.remote is None
@@ -93,51 +101,50 @@ def main():
             ms = timed(slab_loop, x, plan)
         except Exception as e:  # noqa: BLE001
             print(f"{name}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+                  f"{str(e)[:300]}", flush=True)
+            del plan
+            gc.collect()
             continue
         print(f"{name}: {ms:7.2f} ms ({E/ms/1e3:6.1f} Medges/s) "
               f"steps={plan.fwd.n_steps} remote={nrem/E:.3f} "
               f"build={tb:.0f}s", flush=True)
-        if best is None or ms < best[1]:
-            best = (name, ms, plan)
 
-    # parts breakdown for the leader
-    from sgformer_tpu.kernels.slab_spmm import _apply_local
-    from sgformer_tpu.kernels.spmm import _apply_plan
+        # parts breakdown — the plan MUST be a jit ARGUMENT (a closure
+        # would inline 100s of MB of selector constants into the HLO and
+        # blow the remote-compile relay's request size limit)
+        xp = jnp.pad(x, ((0, plan.n_pad - x.shape[0]), (0, 0)))
 
-    name, ms, plan = best
-    print(f"\nleader: {name}", flush=True)
-    xp = jnp.pad(x, ((0, plan.n_pad - x.shape[0]), (0, 0)))
+        def local_loop(salt, xp, side):
+            prev0 = jnp.zeros((side.num_rows_out, xp.shape[1]),
+                              jnp.float32)
 
-    def local_loop(salt, xp, p):
-        prev0 = jnp.zeros((p.fwd.num_rows_out, xp.shape[1]), jnp.float32)
-
-        def body(i, carry):
-            x_c, acc = carry
-            out = _apply_local(x_c, prev0, p.fwd, jnp.bfloat16, False)
-            probe = jnp.sum(out) + salt
-            return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
-        return jax.lax.fori_loop(0, K, body, (xp, salt))[1]
-
-    ms = timed(local_loop, xp, plan)
-    print(f"  local part alone: {ms:7.2f} ms ({plan.fwd.n_steps} steps)",
-          flush=True)
-
-    if plan.fwd.remote is not None:
-        def remote_loop(salt, xp, p):
             def body(i, carry):
                 x_c, acc = carry
-                out = _apply_plan(x_c, p.fwd.remote, jnp.bfloat16, False)
+                out = _apply_local(x_c, prev0, side, jnp.bfloat16, False)
                 probe = jnp.sum(out) + salt
                 return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
             return jax.lax.fori_loop(0, K, body, (xp, salt))[1]
 
-        nrem = int(np.sum(np.asarray(plan.fwd.remote.weight) != 0))
-        nslots = plan.fwd.remote.weight.size
-        ms = timed(remote_loop, xp, plan)
-        print(f"  remote part alone: {ms:7.2f} ms ({nrem} edges, "
-              f"fill {nrem/nslots:.2f}, {ms/nrem*1e6:.1f} ns/edge)",
-              flush=True)
+        ms_l = timed(local_loop, xp, plan.fwd)
+        print(f"  local: {ms_l:6.2f} ms ({plan.fwd.n_steps} steps, "
+              f"{ms_l/plan.fwd.n_steps*1e3:.2f} us/step)", flush=True)
+
+        if plan.fwd.remote is not None:
+            def remote_loop(salt, xp, rem):
+                def body(i, carry):
+                    x_c, acc = carry
+                    out = _apply_plan(x_c, rem, jnp.bfloat16, False)
+                    probe = jnp.sum(out) + salt
+                    return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
+                return jax.lax.fori_loop(0, K, body, (xp, salt))[1]
+
+            nslots = plan.fwd.remote.weight.size
+            ms_r = timed(remote_loop, xp, plan.fwd.remote)
+            print(f"  remote: {ms_r:6.2f} ms ({nrem} edges, "
+                  f"fill {nrem/nslots:.2f}, {ms_r/nrem*1e6:.1f} ns/edge)",
+                  flush=True)
+        del plan
+        gc.collect()
 
 
 if __name__ == "__main__":

@@ -111,7 +111,7 @@ def main():
         def body(i, carry):
             x_c, acc = carry
             l, dx = jax.value_and_grad(one)(x_c)
-            probe = l + jnp.sum(dx.astype(jnp.float32)) * 0 + salt
+            probe = l + jnp.sum(dx.astype(jnp.float32)) * 1e-30 + salt
             return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
         return jax.lax.fori_loop(0, K, body, (x, salt))[1]
 
@@ -190,8 +190,8 @@ def main():
 
     t0 = time.time()
     gslab = preprocess_graph(ds.graph["edge_index"], N, with_chunks=True,
-                             spmm_mode="slab")
-    print(f"slab preprocess: {time.time()-t0:.1f}s", flush=True)
+                             spmm_mode="ssel")
+    print(f"ssel preprocess: {time.time()-t0:.1f}s", flush=True)
 
     def sspmm_grad_loop(salt, x, g):
         def one(xx):
@@ -201,7 +201,7 @@ def main():
         def body(i, carry):
             x_c, acc = carry
             l, dx = jax.value_and_grad(one)(x_c)
-            probe = l + jnp.sum(dx.astype(jnp.float32)) * 0 + salt
+            probe = l + jnp.sum(dx.astype(jnp.float32)) * 1e-30 + salt
             return jnp.where(probe > 1e30, x_c + 1, x_c), acc + probe
         return jax.lax.fori_loop(0, K, body, (x, salt))[1]
 

@@ -100,6 +100,27 @@ def main():
     ))(x)
     check("slab_spmm grad f32", g_got, g_want, 1e-5)
 
+    # ---- streamed-selector slab SpMM (ssel), f32 exact ----
+    g_ssel = preprocess_graph(ei, N, with_chunks=True, spmm_mode="ssel",
+                              chunk_dtype="f32", slab_rows=2048)
+    oracle_ss = jax.jit(
+        lambda xx: spmm(xx, g_ssel.edge_src, g_ssel.edge_dst,
+                        g_ssel.gcn_weight, N)
+    )
+    want = oracle_ss(x)
+    got = jax.jit(
+        lambda xx: slab_spmm(xx, g_ssel.chunks, compute_dtype=jnp.float32)
+    )(x)
+    check("ssel_spmm fwd f32", got, want, 1e-5)
+
+    g_want = jax.jit(jax.grad(lambda xx: jnp.sum(oracle_ss(xx) * co)))(x)
+    g_got = jax.jit(jax.grad(
+        lambda xx: jnp.sum(
+            slab_spmm(xx, g_ssel.chunks, compute_dtype=jnp.float32) * co
+        )
+    ))(x)
+    check("ssel_spmm grad f32", g_got, g_want, 1e-5)
+
     # ---- runtime edge values (GAT aggregation) ----
     gp = preprocess_graph(ei, N, with_chunks=True, chunk_perm=True,
                           chunk_dtype="f32")

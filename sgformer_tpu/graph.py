@@ -227,7 +227,7 @@ def preprocess_graph(
         edge_index = remove_self_loops(edge_index)
         edge_index = add_self_loops(edge_index, num_nodes)
     node_perm = None
-    if with_chunks and spmm_mode == "slab":
+    if with_chunks and spmm_mode in ("slab", "ssel"):
         from sgformer_tpu.kernels.slabs import reorder_for_slabs
 
         if chunk_dtype == "f32":
@@ -261,15 +261,18 @@ def preprocess_graph(
         pyg_dst = jnp.asarray(pdst, dtype=jnp.int32)
         pyg_weight = jnp.asarray(pw.astype(dtype))
     chunks = pyg_chunks = None
-    if with_chunks and spmm_mode == "slab":
+    if with_chunks and spmm_mode in ("slab", "ssel"):
         from sgformer_tpu.kernels.slabs import build_slabs
 
+        geo = dict(slab_geometry or {})
+        if spmm_mode == "ssel":
+            geo.setdefault("stream_sel", chunk_dtype)
         chunks = build_slabs(src, dst, weight, num_nodes,
-                             slab_rows=slab_rows, **(slab_geometry or {}))
+                             slab_rows=slab_rows, **geo)
         if pyg_np is not None:
             pyg_chunks = build_slabs(
                 pyg_np[0], pyg_np[1], pyg_np[2], num_nodes,
-                slab_rows=slab_rows, **(slab_geometry or {}),
+                slab_rows=slab_rows, **geo,
             )
     elif with_chunks:
         from sgformer_tpu.kernels.chunks import build_chunks

@@ -130,7 +130,8 @@ def cluster_pack_perm(clusters: np.ndarray, slab_rows: int) -> np.ndarray:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[
-        "window_id", "slab_id", "subblock", "meta", "remote",
+        "window_id", "slab_id", "subblock", "meta", "sel_src", "sel_dst",
+        "remote",
     ],
     meta_fields=[
         "window_rows", "block_rows", "chunk_edges", "chunks_per_step",
@@ -144,7 +145,17 @@ class SlabPlanSide:
     Grid steps process ``chunks_per_step`` chunks of ≤``chunk_edges``
     LOCAL edges each, all chunks of a step belonging to one (window,
     slab); ``remote`` is the round-1 gather-path plan for cross-slab
-    edges (None when every edge is local)."""
+    edges (None when every edge is local).
+
+    Two metadata encodings (exactly one is set):
+      * ``meta`` — compact int32 stream; the kernel builds the one-hot
+        selectors on the VPU every step (low HBM, VPU-bound: measured
+        ~3.3 µs/step of which ~2/3 is selector construction).
+      * ``sel_src``/``sel_dst`` — the selectors PREBUILT on the host and
+        streamed from HBM (``stream_sel`` mode): zero in-kernel VPU work,
+        ~(B+W)·2 bytes/slot of sequential HBM traffic at full bandwidth
+        instead (the gather wall this kernel replaces is row-RATE-bound,
+        so trading it for sequential streaming is the win)."""
 
     window_id: jax.Array  # [n_steps] i32 output window (ascending)
     slab_id: jax.Array  # [n_steps] i32 resident-range BASE (units of H)
@@ -152,7 +163,11 @@ class SlabPlanSide:
     # [n_steps, 3Q, C] i32: rows [0,Q) src-within-sub-block, [Q,2Q)
     # dst-within-window, [2Q,3Q) f32 weight bitcast (0 = padding slot) —
     # one packed stream so the kernel pipelines ONE metadata DMA per step
-    meta: jax.Array
+    meta: Optional[jax.Array]
+    # stream_sel mode: [n_steps, Q·C, B] weighted src one-hot (weights
+    # folded) and [n_steps, W, Q·C] 0/1 dst one-hot, in the stream dtype
+    sel_src: Optional[jax.Array]
+    sel_dst: Optional[jax.Array]
     remote: Optional[ChunkPlan]
     window_rows: int
     block_rows: int
@@ -183,7 +198,7 @@ class SlabSpMM:
 
 def _build_side(
     src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair,
-    remote_window_rows=1024, remote_chunk_edges=1024,
+    remote_window_rows=1024, remote_chunk_edges=1024, stream_sel=None,
 ) -> SlabPlanSide:
     """Edges must be relabeled to the packed order and EXCLUDE self-loops.
 
@@ -263,8 +278,11 @@ def _build_side(
         chunk_win = np.zeros(0, dtype=np.int64)
         chunk_sub = np.zeros(0, dtype=np.int64)
 
-    # ---- pack chunks into steps: Q chunks per step, one window per step,
-    # and EVERY window emits >= 1 step (its out block must be written) ----
+    # ---- pack chunks into steps: Q chunks per step, one window per step.
+    # meta mode: EVERY window emits >= 1 step (its out block must be
+    # written).  stream_sel mode: the kernel aliases ``prev`` onto the
+    # output, so chunk-less windows are SKIPPED entirely (their rows pass
+    # through untouched) — ~20% of grid steps on the bench graph. ----
     steps_win, steps_chunks = [], []  # per step: window, list of chunk ids
     ci = 0
     for w in range(n_windows):
@@ -277,15 +295,30 @@ def _build_side(
             steps_win.append(w)
             steps_chunks.append(take)
             any_step = True
-        if not any_step:
+        if not any_step and stream_sel is None:
             steps_win.append(w)
             steps_chunks.append([])
+    if not steps_win:  # degenerate: no local edges at all
+        steps_win.append(0)
+        steps_chunks.append([])
     n_steps = len(steps_win)
 
     subblock = np.zeros((n_steps, 1, Q), dtype=np.int32)
-    lsrc_a = np.zeros((n_steps, Q, C), dtype=np.int32)
-    ldst_a = np.zeros((n_steps, Q, C), dtype=np.int32)
-    wgt_a = np.zeros((n_steps, Q, C), dtype=np.float32)
+    if stream_sel is not None:
+        sdt = np.dtype(_np_stream_dtype(stream_sel))
+        sel_bytes = n_steps * Q * C * (B + W) * sdt.itemsize
+        if sel_bytes > 8 * 2**30:
+            raise ValueError(
+                f"stream_sel selector arrays would be "
+                f"{sel_bytes/2**30:.1f} GB; use meta mode (or a coarser "
+                f"geometry) at this scale"
+            )
+        sel_src_a = np.zeros((n_steps, Q * C, B), dtype=sdt)
+        sel_dst_a = np.zeros((n_steps, W, Q * C), dtype=sdt)
+    else:
+        lsrc_a = np.zeros((n_steps, Q, C), dtype=np.int32)
+        ldst_a = np.zeros((n_steps, Q, C), dtype=np.int32)
+        wgt_a = np.zeros((n_steps, Q, C), dtype=np.float32)
     if n_local:
         # chunk -> (step, q) mapping
         chunk_step = np.zeros(n_chunks, dtype=np.int64)
@@ -298,9 +331,14 @@ def _build_side(
         e_step = chunk_step[e_chunk]
         e_q = chunk_q[e_chunk]
         subblock[chunk_step, 0, chunk_q] = chunk_sub.astype(np.int32)
-        lsrc_a[e_step, e_q, slot_in_chunk] = ls_rel.astype(np.int32)
-        ldst_a[e_step, e_q, slot_in_chunk] = (ld % W).astype(np.int32)
-        wgt_a[e_step, e_q, slot_in_chunk] = lw.astype(np.float32)
+        if stream_sel is not None:
+            e_slot = e_q * C + slot_in_chunk
+            sel_src_a[e_step, e_slot, ls_rel] = lw.astype(np.float32)
+            sel_dst_a[e_step, ld % W, e_slot] = 1.0
+        else:
+            lsrc_a[e_step, e_q, slot_in_chunk] = ls_rel.astype(np.int32)
+            ldst_a[e_step, e_q, slot_in_chunk] = (ld % W).astype(np.int32)
+            wgt_a[e_step, e_q, slot_in_chunk] = lw.astype(np.float32)
 
     # ---- remote: round-1 gather plan over the padded node range.
     # LARGE windows/chunks: the chunk kernel runs ONE chunk per grid step,
@@ -316,14 +354,23 @@ def _build_side(
         )
 
     steps_win = np.asarray(steps_win, dtype=np.int64)
-    meta = np.concatenate(
-        [lsrc_a, ldst_a, wgt_a.view(np.int32)], axis=1
-    )  # [n_steps, 3Q, C] i32
+    if stream_sel is not None:
+        meta = None
+        sel_src = jnp.asarray(sel_src_a)
+        sel_dst = jnp.asarray(sel_dst_a)
+    else:
+        # [n_steps, 3Q, C] i32 packed stream
+        meta = jnp.asarray(
+            np.concatenate([lsrc_a, ldst_a, wgt_a.view(np.int32)], axis=1)
+        )
+        sel_src = sel_dst = None
     return SlabPlanSide(
         window_id=jnp.asarray(steps_win.astype(np.int32)),
         slab_id=jnp.asarray(base[steps_win].astype(np.int32)),
         subblock=jnp.asarray(subblock),
-        meta=jnp.asarray(meta),
+        meta=meta,
+        sel_src=sel_src,
+        sel_dst=sel_dst,
         remote=remote,
         window_rows=W,
         block_rows=B,
@@ -336,6 +383,29 @@ def _build_side(
     )
 
 
+def _np_stream_dtype(name: str):
+    if name in ("bf16", "bfloat16"):
+        import ml_dtypes
+
+        return ml_dtypes.bfloat16
+    assert name in ("f32", "float32"), name
+    return np.float32
+
+
+def _is_symmetric(src, dst, weight, num_nodes) -> bool:
+    """True when the (src, dst, w) multiset equals its transpose — the
+    normal case for GCN-normalized undirected graphs — so the transpose
+    plan can alias the forward plan (half the build time and HBM)."""
+    k1 = src * num_nodes + dst
+    k2 = dst * num_nodes + src
+    o1 = np.argsort(k1, kind="stable")
+    o2 = np.argsort(k2, kind="stable")
+    return bool(
+        np.array_equal(k1[o1], k2[o2])
+        and np.allclose(weight[o1], weight[o2], rtol=1e-6, atol=0)
+    )
+
+
 def build_slabs(
     src: np.ndarray,
     dst: np.ndarray,
@@ -344,20 +414,25 @@ def build_slabs(
     *,
     window_rows: int = 128,
     block_rows: int = 128,
-    chunk_edges: int = 64,
+    chunk_edges: int = 32,
     chunks_per_step: int = 32,
     slab_rows: int = 16384,
     base_rows: int = 4096,
     min_pair: int = 8,
-    remote_window_rows: int = 1024,
-    remote_chunk_edges: int = 1024,
+    remote_window_rows: int = 512,
+    remote_chunk_edges: int = 512,
+    stream_sel: Optional[str] = None,
+    symmetric: Optional[bool] = None,
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
     into the packed (clustered) node order — see
     :func:`reorder_for_slabs`.  ``slab_rows`` is the per-window RESIDENT
     range (VMEM scratch height; base position chosen per window at
     ``base_rows`` granularity).  Self-loop edges are pulled out into the
-    elementwise ``w_self`` path."""
+    elementwise ``w_self`` path.  ``stream_sel`` in {'bf16','f32'} builds
+    host-prebuilt streamed selectors instead of in-kernel one-hot
+    construction; ``symmetric=None`` auto-detects A == Aᵀ and aliases the
+    transpose plan onto the forward plan when it holds."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float64)
@@ -376,9 +451,11 @@ def build_slabs(
     kw = dict(W=window_rows, B=block_rows, C=chunk_edges, Q=chunks_per_step,
               R=R, H=H, min_pair=min_pair,
               remote_window_rows=remote_window_rows,
-              remote_chunk_edges=remote_chunk_edges)
+              remote_chunk_edges=remote_chunk_edges, stream_sel=stream_sel)
     fwd = _build_side(src, dst, weight, n_pad, **kw)
-    bwd = _build_side(dst, src, weight, n_pad, **kw)
+    if symmetric is None:
+        symmetric = _is_symmetric(src, dst, weight, num_nodes)
+    bwd = fwd if symmetric else _build_side(dst, src, weight, n_pad, **kw)
     return SlabSpMM(
         fwd=fwd, bwd=bwd, w_self=jnp.asarray(w_self),
         num_nodes=int(num_nodes), n_pad=int(n_pad),

@@ -138,13 +138,18 @@ class Trainer:
     def _build_steps(self, tx):
         cfg = self.config
 
-        def loss_fn(params, batch_stats, dropout_rng, train_idx):
+        # x and graph are jit ARGUMENTS, not closures: closure constants are
+        # inlined into the serialized HLO, which at ssel-plan scale (GBs of
+        # streamed selectors) overflows the remote-compile relay — and on any
+        # backend bloats the compile payload (the jitted init at
+        # ``init_state`` passes them as args for the same reason).
+        def loss_fn(params, batch_stats, dropout_rng, train_idx, x, graph):
             variables = {"params": params, "batch_stats": batch_stats}
             d_rng, p_rng = jax.random.split(dropout_rng)
             out, mutated = self.model.apply(
                 variables,
-                self.x,
-                self.graph,
+                x,
+                graph,
                 train=True,
                 rngs={"dropout": d_rng, "performer": p_rng},
                 mutable=["batch_stats"],
@@ -162,21 +167,30 @@ class Trainer:
             return loss, mutated["batch_stats"]
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(state, opt_state, dropout_rng, train_idx):
+        def train_step_inner(state, opt_state, dropout_rng, train_idx, x,
+                             graph):
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state["params"], state["batch_stats"], dropout_rng, train_idx
+                state["params"], state["batch_stats"], dropout_rng, train_idx,
+                x, graph,
             )
             updates, opt_state = tx.update(grads, opt_state, state["params"])
             params = optax.apply_updates(state["params"], updates)
             return {"params": params, "batch_stats": new_bs}, opt_state, loss
 
         @jax.jit
-        def eval_step(state):
+        def eval_step_inner(state, x, graph):
             variables = {"params": state["params"], "batch_stats": state["batch_stats"]}
             out = self.model.apply(
-                variables, self.x, self.graph, train=False, **self.model_kwargs
+                variables, x, graph, train=False, **self.model_kwargs
             )
             return out[0] if isinstance(out, tuple) else out
+
+        def train_step(state, opt_state, dropout_rng, train_idx):
+            return train_step_inner(state, opt_state, dropout_rng, train_idx,
+                                    self.x, self.graph)
+
+        def eval_step(state):
+            return eval_step_inner(state, self.x, self.graph)
 
         return train_step, eval_step
 

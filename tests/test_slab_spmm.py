@@ -210,3 +210,158 @@ def test_trainer_slab_mode_matches_plain():
     split = ds.get_idx_split(rng=np.random.default_rng(0))
     logger = trainer.fit([split])
     assert logger.run_summary(0)["final_test"] > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Streamed-selector (ssel) mode
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ssel_problem(problem):
+    s2, d2, w2, n, _, x = problem
+    plan = build_slabs(s2, d2, w2, n, stream_sel="f32", **PARAMS)
+    return s2, d2, w2, n, plan, x
+
+
+def test_ssel_fwd_exact_f32(ssel_problem):
+    s2, d2, w2, n, plan, x = ssel_problem
+    assert plan.fwd.meta is None and plan.fwd.sel_src is not None
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_ssel_grad_exact_f32(ssel_problem):
+    s2, d2, w2, n, plan, x = ssel_problem
+    co = np.random.default_rng(4).standard_normal((n, 32)).astype(np.float32)
+
+    def f_slab(xx):
+        return jnp.sum(slab_spmm(xx, plan, compute_dtype=jnp.float32,
+                                 interpret=True) * co)
+
+    def f_ref(xx):
+        return jnp.sum(spmm(xx, jnp.asarray(s2), jnp.asarray(d2),
+                            jnp.asarray(w2), n) * co)
+
+    g1 = np.asarray(jax.grad(f_slab)(jnp.asarray(x)))
+    g2 = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(g1, g2, rtol=2e-5, atol=2e-5)
+
+
+def test_ssel_bf16_stream_close(problem):
+    s2, d2, w2, n, _, x = problem
+    plan = build_slabs(s2, d2, w2, n, stream_sel="bf16", **PARAMS)
+    assert plan.fwd.sel_src.dtype == jnp.bfloat16
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.bfloat16, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+    # f32 compute on a bf16 stream would silently round weights -> error
+    with pytest.raises(ValueError, match="f32"):
+        slab_spmm(jnp.asarray(x), plan, compute_dtype=jnp.float32,
+                  interpret=True)
+
+
+def test_symmetric_plan_aliases_transpose(problem):
+    """GCN-normalized undirected edges are symmetric: the transpose plan
+    must alias the forward plan (same object, no duplicate HBM)."""
+    s2, d2, w2, n, plan, x = problem
+    assert plan.bwd is plan.fwd
+
+
+def test_asymmetric_plan_not_aliased():
+    rng = np.random.default_rng(1)
+    n = 300
+    s = rng.integers(0, n, 800)
+    d = rng.integers(0, n, 800)
+    m = s != d
+    s, d = s[m], d[m]
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    w = rng.random(len(s)).astype(np.float32)
+    plan = build_slabs(s, d, w, n, **PARAMS)
+    assert plan.bwd is not plan.fwd
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    co = rng.standard_normal((n, 16)).astype(np.float32)
+
+    def f_slab(xx):
+        return jnp.sum(slab_spmm(xx, plan, compute_dtype=jnp.float32,
+                                 interpret=True) * co)
+
+    def f_ref(xx):
+        return jnp.sum(spmm(xx, jnp.asarray(s), jnp.asarray(d),
+                            jnp.asarray(w), n) * co)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(f_slab)(jnp.asarray(x))),
+        np.asarray(jax.grad(f_ref)(jnp.asarray(x))),
+        rtol=2e-5, atol=2e-5,
+    )
+
+
+def test_trainer_ssel_mode_matches_plain():
+    """End-to-end eval through spmm_mode='ssel' equals the plain path."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train import TrainConfig, Trainer
+
+    ds = synthetic_dataset(num_nodes=300, num_edges=2400, num_features=16,
+                           num_classes=4, seed=9)
+    g_plain = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    g_ssel = preprocess_graph(
+        ds.graph["edge_index"], ds.num_nodes, with_chunks=True,
+        spmm_mode="ssel", slab_rows=128, chunk_dtype="f32",
+        chunk_interpret=True,
+    )
+    assert g_ssel.chunks.fwd.sel_src is not None
+
+    cfg = SGFormerConfig(16, 4, gnn="graphconv", trans_dropout=0.0,
+                         gnn_dropout=0.0)
+    model = SGFormer(cfg)
+    tc = TrainConfig(lr=0.01, epochs=1, eval_step=1, display_step=-1)
+    tr_plain = Trainer(model, g_plain, ds.graph["node_feat"], ds.label, tc)
+    tr_ssel = Trainer(model, g_ssel, ds.graph["node_feat"], ds.label, tc)
+
+    rng = jax.random.PRNGKey(0)
+    st_p, _, _ = tr_plain.init_state(rng)
+    st_s, tx, _ = tr_ssel.init_state(rng)
+    _, ev_p = tr_plain._build_steps(tx)
+    _, ev_s = tr_ssel._build_steps(tx)
+    out_p = np.asarray(ev_p(st_p))
+    out_s = np.asarray(ev_s(st_s))
+    perm = np.asarray(g_ssel.node_perm)
+    np.testing.assert_allclose(out_s, out_p[perm], rtol=2e-4, atol=2e-4)
+
+
+def test_ssel_remote_only_windows_pass_through():
+    """Windows with NO local chunks emit no grid step in ssel mode; their
+    rows must still carry the remote-path partial (the prev->out aliasing
+    pass-through), not zeros."""
+    rng = np.random.default_rng(2)
+    n = 512  # two slabs of 256
+    # local edges inside slab 0 only; slab-1 rows receive ONLY cross-slab
+    s_loc = rng.integers(0, 256, 600)
+    d_loc = rng.integers(0, 256, 600)
+    s_rem = rng.integers(0, 256, 300)
+    d_rem = rng.integers(256, 512, 300)
+    s = np.concatenate([s_loc, s_rem])
+    d = np.concatenate([d_loc, d_rem])
+    m = s != d
+    s, d = s[m], d[m]
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    w = rng.random(len(s)).astype(np.float32) + 0.5
+    plan = build_slabs(s, d, w, n, stream_sel="f32", symmetric=False,
+                       **PARAMS)
+    x = rng.standard_normal((n, 32)).astype(np.float32)
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s), jnp.asarray(d),
+                           jnp.asarray(w), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.float32, interpret=True))
+    assert np.abs(want[256:]).sum() > 0  # the remote rows are nonzero
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
