@@ -59,7 +59,10 @@ class DPBatchTrainer:
     def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
         cfg = self.config
         logger = RunLogger(cfg.runs, mode=cfg.mode)
-        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        if rng is None:
+            from sgformer_tpu.utils.rng import train_key
+
+            rng = train_key(cfg.seed, cfg.rng_impl)
         np_rng = np.random.default_rng(cfg.seed)
         B = cfg.batch_size
         groups_per_step = self.dp

@@ -272,7 +272,10 @@ class BatchTrainer:
     def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
         cfg = self.config
         logger = RunLogger(cfg.runs, mode=cfg.mode)
-        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        if rng is None:
+            from sgformer_tpu.utils.rng import train_key
+
+            rng = train_key(cfg.seed, cfg.rng_impl)
         np_rng = np.random.default_rng(cfg.seed)
         B = cfg.batch_size
         num_batches = self.num_nodes // B

@@ -158,7 +158,10 @@ class SampledTrainer:
     def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
         cfg = self.config
         logger = RunLogger(cfg.runs, mode=cfg.mode)
-        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        if rng is None:
+            from sgformer_tpu.utils.rng import train_key
+
+            rng = train_key(cfg.seed, cfg.rng_impl)
         best_state = None
 
         for run in range(cfg.runs):

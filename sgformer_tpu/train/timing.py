@@ -42,7 +42,9 @@ def time_test(
     Matches ``medium/time_test.py`` semantics: pure training epochs (no
     eval inside the timed loop), then one timed no-grad forward.
     """
-    rng = jax.random.PRNGKey(trainer.config.seed)
+    from sgformer_tpu.utils.rng import train_key
+
+    rng = train_key(trainer.config.seed, trainer.config.rng_impl)
     rng, init_rng = jax.random.split(rng)
     state, tx, opt_state = trainer.init_state(init_rng)
     train_step, eval_step = trainer._build_steps(tx)

@@ -46,6 +46,9 @@ class TrainConfig:
     # (logits, link_losses) get `loss -= lamda * mean(link_losses)`
     # (medium/main.py:153-174)
     lamda: float = 1.0
+    # PRNG bit generator for init/dropout streams: 'auto' = hardware rbg
+    # on TPU (utils/rng.py; ~30% faster train step), threefry elsewhere
+    rng_impl: str = "auto"
 
 
 def cross_entropy_loss(logits, labels, idx):
@@ -236,7 +239,10 @@ class Trainer:
         """Run ``config.runs`` training runs; returns the RunLogger."""
         cfg = self.config
         logger = RunLogger(cfg.runs, mode=cfg.mode)
-        rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+        if rng is None:
+            from sgformer_tpu.utils.rng import train_key
+
+            rng = train_key(cfg.seed, cfg.rng_impl)
 
         for run in range(cfg.runs):
             split_idx = split_idx_lst[run % len(split_idx_lst)]

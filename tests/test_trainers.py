@@ -466,3 +466,25 @@ def test_sampled_full_fanout_matches_full_graph_oracle(ds):
     # map back: row i of the batch is node_ids[i]
     np.testing.assert_allclose(got, want[np.asarray(batch.node_ids)],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_rbg_rng_trains(ds):
+    """The TPU-default rbg bit generator (utils/rng.py) drives the same
+    training loop: typed rbg keys thread through jitted init, dropout
+    splits, and flax rng dicts, and the model still learns."""
+    from sgformer_tpu.train import TrainConfig, Trainer
+    from sgformer_tpu.utils.rng import train_key
+
+    # auto on CPU stays threefry (cross-backend determinism for the suite)
+    auto = train_key(3)
+    assert "threefry" in str(jax.random.key_impl(auto))
+    rbg = train_key(3, "rbg")
+    assert "rbg" in str(jax.random.key_impl(rbg))
+
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    cfg = SGFormerConfig(16, ds.num_classes, gnn="graphconv")
+    tc = TrainConfig(lr=0.01, epochs=30, eval_step=10, display_step=-1)
+    trainer = Trainer(SGFormer(cfg), g, ds.graph["node_feat"], ds.label, tc)
+    logger = trainer.fit([ds.get_idx_split(rng=np.random.default_rng(0))],
+                         rng=rbg)
+    assert logger.run_summary(0)["final_test"] > 0.5
