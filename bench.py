@@ -78,16 +78,24 @@ def main(dry: bool = False):
     state, opt_state, loss = train_step(state, opt_state, rng, train_idx)
     jax.block_until_ready(loss)
 
-    steps = 2 if dry else 30
-    # presplit the per-step dropout keys: one dispatch instead of one
-    # jax.random.split round-trip per step (the relay adds ~2.8 ms/dispatch)
-    keys = list(jax.random.split(rng, steps))  # slice outside the timed loop
-    jax.block_until_ready(keys)
+    # Fused epoch blocks (Trainer._build_multi_step): k train steps run as
+    # ONE lax.scan dispatch, exactly how fit() executes between evals — and
+    # how any full-graph training loop should run on TPU (no host
+    # round-trip per epoch; through this environment's relay a dispatch
+    # costs ~2.8 ms on top of the step).
+    k = 2 if dry else 10
+    blocks = 1 if dry else 3
+    multi_step = trainer._build_multi_step(tx, k)
+    state, opt_state, rng, losses = multi_step(state, opt_state, rng,
+                                               train_idx)
+    jax.block_until_ready(losses)
     t0 = time.perf_counter()
-    for key in keys:
-        state, opt_state, loss = train_step(state, opt_state, key, train_idx)
-    jax.block_until_ready(loss)
+    for _ in range(blocks):
+        state, opt_state, rng, losses = multi_step(state, opt_state, rng,
+                                                   train_idx)
+    jax.block_until_ready(losses)
     dt = time.perf_counter() - t0
+    steps = k * blocks
 
     edges_per_sec = graph.num_edges * steps / dt
 

@@ -16,13 +16,22 @@ import numpy as np
 K = 10
 
 # (name, W, B, C, Q, R, mp, stream_sel, remW, remC)
+# Round-2b: local fill at C=32 is ~0.58 (median group ~40 edges pads to
+# 64 slots) — smaller C at the same Q*C slots/step raises fill and cuts
+# steps if the extra per-dot overhead doesn't eat it.
+# Cost model fitted on the first fill sweep (real, dispatch-corrected):
+#   t_local ≈ 0.55 µs/step + 11 ns/dot + 0.54 ns/slot  (stream-bound slot)
+# so at fixed C the lever is bigger Q·C (fewer steps), VMEM allowing.
 GEOMS = [
-    ("meta W128B128C64Q32 R24K", 128, 128, 64, 32, 24576, 8, None, 1024, 1024),
-    ("ssel W128B128C32Q32 R16K", 128, 128, 32, 32, 16384, 8, "bf16", 1024, 1024),
-    ("ssel W128B128C32Q32 R24K", 128, 128, 32, 32, 24576, 8, "bf16", 1024, 1024),
-    ("ssel W128B128C64Q16 R24K", 128, 128, 64, 16, 24576, 8, "bf16", 1024, 1024),
-    ("ssel W128B256C32Q32 R24K", 128, 256, 32, 32, 24576, 8, "bf16", 1024, 1024),
-    ("ssel W128B128C32Q32 R24K remW512", 128, 128, 32, 32, 24576, 8, "bf16",
+    ("ssel C16 Q64 R24K remW512", 128, 128, 16, 64, 24576, 8, "bf16",
+     512, 512),
+    ("ssel C16 Q128 R24K remW512", 128, 128, 16, 128, 24576, 8, "bf16",
+     512, 512),
+    ("ssel C16 Q192 R24K remW512", 128, 128, 16, 192, 24576, 8, "bf16",
+     512, 512),
+    ("ssel C16 Q128 R32K remW512", 128, 128, 16, 128, 32768, 8, "bf16",
+     512, 512),
+    ("ssel C16 Q256 R24K remW512", 128, 128, 16, 256, 24576, 8, "bf16",
      512, 512),
 ]
 
@@ -126,8 +135,12 @@ def main():
             return jax.lax.fori_loop(0, K, body, (xp, salt))[1]
 
         ms_l = timed(local_loop, xp, plan.fwd)
+        n_self = int(np.sum(src == dst))
+        n_local = E - nrem - n_self
+        fill_l = n_local / (plan.fwd.n_steps * Q * C)
         print(f"  local: {ms_l:6.2f} ms ({plan.fwd.n_steps} steps, "
-              f"{ms_l/plan.fwd.n_steps*1e3:.2f} us/step)", flush=True)
+              f"{ms_l/plan.fwd.n_steps*1e3:.2f} us/step, fill {fill_l:.2f})",
+              flush=True)
 
         if plan.fwd.remote is not None:
             def remote_loop(salt, xp, rem):

@@ -108,17 +108,21 @@ def main():
                         g_ssel.gcn_weight, N)
     )
     want = oracle_ss(x)
+    # the selector plan MUST be a jit ARGUMENT: as a closure constant it
+    # inlines 100s of MB into the HLO and blows the remote-compile relay's
+    # request size limit (HTTP 413)
     got = jax.jit(
-        lambda xx: slab_spmm(xx, g_ssel.chunks, compute_dtype=jnp.float32)
-    )(x)
+        lambda xx, ch: slab_spmm(xx, ch, compute_dtype=jnp.float32)
+    )(x, g_ssel.chunks)
     check("ssel_spmm fwd f32", got, want, 1e-5)
 
     g_want = jax.jit(jax.grad(lambda xx: jnp.sum(oracle_ss(xx) * co)))(x)
     g_got = jax.jit(jax.grad(
-        lambda xx: jnp.sum(
-            slab_spmm(xx, g_ssel.chunks, compute_dtype=jnp.float32) * co
-        )
-    ))(x)
+        lambda xx, ch: jnp.sum(
+            slab_spmm(xx, ch, compute_dtype=jnp.float32) * co
+        ),
+        argnums=0,
+    ))(x, g_ssel.chunks)
     check("ssel_spmm grad f32", g_got, g_want, 1e-5)
 
     # ---- runtime edge values (GAT aggregation) ----

@@ -278,6 +278,13 @@ def _build_side(
         chunk_win = np.zeros(0, dtype=np.int64)
         chunk_sub = np.zeros(0, dtype=np.int64)
 
+    # A step never packs chunks from two windows, so Q beyond the busiest
+    # window's chunk count is pure slot padding (on small graphs the
+    # default Q=128 would pad every step to 128 chunks): shrink to fit.
+    if n_chunks:
+        Q = min(Q, int(np.bincount(chunk_win.astype(np.int64)).max()))
+    Q = max(Q, 1)
+
     # ---- pack chunks into steps: Q chunks per step, one window per step.
     # meta mode: EVERY window emits >= 1 step (its out block must be
     # written).  stream_sel mode: the kernel aliases ``prev`` onto the
@@ -414,8 +421,8 @@ def build_slabs(
     *,
     window_rows: int = 128,
     block_rows: int = 128,
-    chunk_edges: int = 32,
-    chunks_per_step: int = 32,
+    chunk_edges: int = 16,
+    chunks_per_step: int = 128,
     slab_rows: int = 16384,
     base_rows: int = 4096,
     min_pair: int = 8,

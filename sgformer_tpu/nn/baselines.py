@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 from sgformer_tpu.nn.norm import MaskedBatchNorm
 from sgformer_tpu.ops.spmm import edge_softmax
 import jax.ops
@@ -36,7 +36,7 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph=None, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         dims = [self.hidden_channels] * (self.num_layers - 1) + [self.out_channels]
         for i, d in enumerate(dims[:-1]):
             x = TorchLinear(d, name=f"lin_{i}")(x)
@@ -231,7 +231,7 @@ class GAT(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         for i in range(self.num_layers - 1):
             x = GATConv(self.hidden_channels, heads=self.heads, name=f"conv_{i}")(
                 x, graph
@@ -279,7 +279,7 @@ class MixHop(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         for i in range(self.num_layers):
             x = MixHopLayer(self.hidden_channels, hops=self.hops, name=f"mix_{i}")(
                 x, graph
@@ -309,7 +309,7 @@ class GCNJK(nn.Module):
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
         from sgformer_tpu.nn.gcn import GCNConv
 
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         xs = []
         for i in range(self.num_layers):
             x = GCNConv(self.hidden_channels, name=f"conv_{i}")(x, graph)
@@ -341,7 +341,7 @@ class GATJK(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         xs = []
         for i in range(self.num_layers):
             x = GATConv(self.hidden_channels, heads=self.heads, name=f"conv_{i}")(
@@ -373,7 +373,7 @@ class APPNP(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         x = dropout(x)
         x = nn.relu(TorchLinear(self.hidden_channels, name="lin1")(x))
         x = dropout(x)
@@ -397,8 +397,8 @@ class GPRGNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
-        dprop = nn.Dropout(self.dprate, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
+        dprop = Dropout(self.dprate, deterministic=not train)
         x = dropout(x)
         x = nn.relu(TorchLinear(self.hidden_channels, name="lin1")(x))
         x = dropout(x)
@@ -440,7 +440,7 @@ class H2GCN(nn.Module):
             "sgformer_tpu.graph.build_h2_graphs"
         )
         a1, a2 = h2_graphs
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         h = nn.relu(TorchLinear(self.hidden_channels, name="embed")(x))
         outs = [h]
         for _ in range(self.num_layers):

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 
 
 def difformer_attention(qs, ks, vs, kernel: str = "simple", output_attn=False):
@@ -115,7 +115,7 @@ class DIFFormer(nn.Module):
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None,
                  output_attn: bool = False):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         x = TorchLinear(self.hidden_channels, name="fc_in")(x)
         if self.use_bn:
             x = nn.LayerNorm(epsilon=1e-5, name="ln_in")(x)

@@ -15,6 +15,8 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from sgformer_tpu.nn.layers import Dropout
+
 from sgformer_tpu.nn.norm import MaskedBatchNorm
 
 
@@ -50,7 +52,7 @@ class GCN(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         dims = [self.hidden_channels] * (self.num_layers - 1) + [self.out_channels]
         for i, d in enumerate(dims[:-1]):
             x = GCNConv(d, name=f"conv_{i}")(x, graph)

@@ -18,7 +18,7 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 from sgformer_tpu.nn.norm import MaskedBatchNorm
 
 
@@ -58,7 +58,7 @@ class GraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         layer_cls = nn.remat(GraphConvLayer) if self.remat else GraphConvLayer
 
         def bn(h, name):

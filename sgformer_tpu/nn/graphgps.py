@@ -9,7 +9,7 @@ import jax
 from flax import linen as nn
 
 from sgformer_tpu.nn.gcn import GCNConv
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 from sgformer_tpu.nn.norm import MaskedBatchNorm
 from sgformer_tpu.ops.attention_variants import performer_attention
 
@@ -46,7 +46,7 @@ class GPSLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        drop = nn.Dropout(self.dropout, deterministic=not train)
+        drop = Dropout(self.dropout, deterministic=not train)
         h_local = GCNConv(self.dim, name="local")(x, graph)
         h_local = x + h_local
         if self.use_bn:
@@ -82,7 +82,7 @@ class GraphGPS(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
-        drop = nn.Dropout(self.dropout, deterministic=not train)
+        drop = Dropout(self.dropout, deterministic=not train)
         x = TorchLinear(self.hidden_channels, name="pre_mp")(x)
         x = nn.relu(x)
         x = drop(x)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 
 
 class QuantNoiseLinear(nn.Module):
@@ -47,7 +47,7 @@ class QuantNoiseLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        from sgformer_tpu.nn.layers import _torch_linear_kernel_init
+        from sgformer_tpu.nn.layers import Dropout, _torch_linear_kernel_init
 
         in_features = x.shape[-1]
         kernel = self.param(
@@ -141,7 +141,7 @@ class GraphormerLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_bias, *, train: bool):
-        drop = nn.Dropout(self.dropout, deterministic=not train)
+        drop = Dropout(self.dropout, deterministic=not train)
         h = nn.LayerNorm(epsilon=1e-5, name="attn_ln")(x)
         H, D = self.heads, self.dim // self.heads
         qn = dict(p=self.q_noise, block_size=self.qn_block_size)
@@ -159,7 +159,7 @@ class GraphormerLayer(nn.Module):
         )
         scores = scores + attn_bias
         w = jax.nn.softmax(scores, axis=-1)
-        w = nn.Dropout(self.attn_dropout, deterministic=not train)(w)
+        w = Dropout(self.attn_dropout, deterministic=not train)(w)
         attn = jnp.einsum(
             "...hnm,...mhd->...nhd", w, v, preferred_element_type=jnp.float32
         ).astype(x.dtype)

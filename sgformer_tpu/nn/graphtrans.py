@@ -8,7 +8,7 @@ from __future__ import annotations
 from flax import linen as nn
 
 from sgformer_tpu.nn.gcn import GCN
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -21,7 +21,7 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        drop = nn.Dropout(self.dropout, deterministic=not train)
+        drop = Dropout(self.dropout, deterministic=not train)
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head,
             qkv_features=self.d_model,

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 from sgformer_tpu.ops.attention_variants import (
     create_projection_matrix,
     softmax_kernel_transformation,
@@ -189,7 +189,7 @@ class NodeFormer(nn.Module):
         if adjs is None:
             # rb_order=1 fallback straight from the preprocessed graph
             adjs = [jnp.stack([graph.edge_src, graph.edge_dst])]
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
         z = TorchLinear(self.hidden_channels, name="fc_in")(x)
         z = nn.LayerNorm(epsilon=1e-5, name="ln_in")(z) if self.use_bn else z
         z = nn.elu(z)

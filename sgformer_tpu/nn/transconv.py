@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sgformer_tpu.nn.layers import TorchLinear
+from sgformer_tpu.nn.layers import Dropout, TorchLinear
 from sgformer_tpu.ops.attention import linear_attention
 
 
@@ -129,7 +129,7 @@ class TransConv(nn.Module):
     def __call__(
         self, x, *, train: bool = False, output_attn: bool = False, node_mask=None
     ):
-        dropout = nn.Dropout(self.dropout, deterministic=not train)
+        dropout = Dropout(self.dropout, deterministic=not train)
 
         dt = x.dtype  # keep the compute dtype through f32-param LayerNorms
         x = TorchLinear(self.hidden_channels, name="fc_in")(x)

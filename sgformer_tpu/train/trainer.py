@@ -114,6 +114,8 @@ class Trainer:
         self.label = jnp.asarray(label.reshape(-1).astype(np.int32))
         self._train_step = None
         self._eval_step = None
+        self._multi_steps = {}  # k -> fused k-step fn (_build_multi_step)
+        self._tx = None
 
     # -- state -------------------------------------------------------------
 
@@ -138,7 +140,7 @@ class Trainer:
 
     # -- jitted steps --------------------------------------------------------
 
-    def _build_steps(self, tx):
+    def _make_loss_fn(self):
         cfg = self.config
 
         # x and graph are jit ARGUMENTS, not closures: closure constants are
@@ -169,6 +171,11 @@ class Trainer:
                 loss = loss - cfg.lamda * sum(link_losses) / len(link_losses)
             return loss, mutated["batch_stats"]
 
+        return loss_fn
+
+    def _build_steps(self, tx):
+        loss_fn = self._make_loss_fn()
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def train_step_inner(state, opt_state, dropout_rng, train_idx, x,
                              graph):
@@ -196,6 +203,50 @@ class Trainer:
             return eval_step_inner(state, self.x, self.graph)
 
         return train_step, eval_step
+
+    def _build_multi_step(self, tx, k: int):
+        """``k`` train steps fused into ONE dispatch (``lax.scan``).
+
+        The host round-trip per dispatch is pure overhead for full-graph
+        training (the reference pays it per epoch, ``large/main.py:126-143``;
+        over this environment's relay it is ~2.8 ms/dispatch) — between
+        evals the whole epoch block can run device-side.  The dropout-key
+        chain reproduces the per-epoch loop exactly (``rng, drop =
+        split(rng)`` per step), so a fused block is bit-identical to ``k``
+        single steps; returns ``(state, opt_state, rng_out, losses[k])``.
+        """
+        loss_fn = self._make_loss_fn()
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def multi_step_inner(state, opt_state, rng, train_idx, x, graph):
+            def chain(r, _):
+                r, d = jax.random.split(r)
+                return r, d
+
+            rng_out, drops = jax.lax.scan(chain, rng, None, length=k)
+
+            def body(carry, drop_rng):
+                state, opt_state = carry
+                (loss, new_bs), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state["params"], state["batch_stats"], drop_rng, train_idx,
+                  x, graph)
+                updates, opt_state = tx.update(grads, opt_state,
+                                               state["params"])
+                params = optax.apply_updates(state["params"], updates)
+                return ({"params": params, "batch_stats": new_bs},
+                        opt_state), loss
+
+            (state, opt_state), losses = jax.lax.scan(
+                body, (state, opt_state), drops
+            )
+            return state, opt_state, rng_out, losses
+
+        def multi_step(state, opt_state, rng, train_idx):
+            return multi_step_inner(state, opt_state, rng, train_idx,
+                                    self.x, self.graph)
+
+        return multi_step
 
     # -- evaluation ----------------------------------------------------------
 
@@ -251,21 +302,48 @@ class Trainer:
             state, tx, opt_state = self.init_state(init_rng)
             if self._train_step is None:
                 self._train_step, self._eval_step = self._build_steps(tx)
+                self._tx = tx
             best_val = float("-inf")
             patience_ctr = 0
 
-            for epoch in range(cfg.epochs):
-                rng, drop_rng = jax.random.split(rng)
-                state, opt_state, loss = self._train_step(
-                    state, opt_state, drop_rng, train_idx
-                )
-                if epoch % cfg.eval_step == 0:
+            # Between evals, epochs run as ONE fused device-side block
+            # (bit-identical to the per-epoch loop, see _build_multi_step);
+            # subclasses with their own step builders keep the plain loop.
+            use_fused = (
+                cfg.eval_step > 1
+                and type(self)._build_steps is Trainer._build_steps
+            )
+            epoch = 0
+            while epoch < cfg.epochs:
+                k = 1
+                if use_fused and epoch % cfg.eval_step != 0:
+                    next_eval = -(-epoch // cfg.eval_step) * cfg.eval_step
+                    k = min(next_eval, cfg.epochs - 1) - epoch + 1
+                if k > 1:
+                    fn = self._multi_steps.get(k)
+                    if fn is None:
+                        fn = self._multi_steps[k] = self._build_multi_step(
+                            self._tx, k
+                        )
+                    state, opt_state, rng, losses = fn(
+                        state, opt_state, rng, train_idx
+                    )
+                    loss = losses[-1]
+                else:
+                    rng, drop_rng = jax.random.split(rng)
+                    state, opt_state, loss = self._train_step(
+                        state, opt_state, drop_rng, train_idx
+                    )
+                epoch += k
+                if (epoch - 1) % cfg.eval_step == 0:
                     out = np.asarray(self._eval_step(state))
                     result = self.evaluate(out, split_idx)
                     logger.add_result(run, result)
-                    if cfg.display_step > 0 and epoch % cfg.display_step == 0:
+                    if (cfg.display_step > 0
+                            and (epoch - 1) % cfg.display_step == 0):
                         print(
-                            f"Epoch: {epoch:02d}, Loss: {float(loss):.4f}, "
+                            f"Epoch: {epoch - 1:02d}, "
+                            f"Loss: {float(loss):.4f}, "
                             f"Train: {100 * result[0]:.2f}%, "
                             f"Valid: {100 * result[1]:.2f}%, "
                             f"Test: {100 * result[2]:.2f}%"

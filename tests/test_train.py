@@ -145,3 +145,36 @@ def test_training_is_deterministic():
 
     a, b = run(), run()
     assert a == b  # exact equality, every epoch's metrics
+
+
+def test_fused_multi_step_matches_single_steps():
+    """eval_step>1 runs epoch blocks as ONE lax.scan dispatch
+    (Trainer._build_multi_step); the dropout-key chain reproduces the
+    per-epoch loop, so trajectories are bit-identical to single steps."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset(num_nodes=150, num_edges=900, num_features=8,
+                           num_classes=3, seed=0)
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+
+    class _PlainTrainer(Trainer):
+        """Overriding _build_steps disables the fused path (the fit gate
+        requires the base implementation)."""
+
+        def _build_steps(self, tx):
+            return Trainer._build_steps(self, tx)
+
+    def run(cls):
+        model = SGFormer(SGFormerConfig.large(16, 3))
+        tc = TrainConfig(lr=0.01, epochs=8, eval_step=3, seed=7,
+                         display_step=-1)
+        trainer = cls(model, g, ds.graph["node_feat"], ds.label, tc)
+        logger = trainer.fit([split])
+        return trainer, logger.results[0]
+
+    fused_tr, fused = run(Trainer)
+    plain_tr, plain = run(_PlainTrainer)
+    assert fused_tr._multi_steps and not plain_tr._multi_steps
+    assert len(fused) == len(plain) > 1
+    assert fused == plain  # exact equality, every eval's metrics
