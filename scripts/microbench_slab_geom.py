@@ -23,15 +23,11 @@ K = 10
 #   t_local ≈ 0.55 µs/step + 11 ns/dot + 0.54 ns/slot  (stream-bound slot)
 # so at fixed C the lever is bigger Q·C (fewer steps), VMEM allowing.
 GEOMS = [
-    ("ssel C16 Q64 R24K remW512", 128, 128, 16, 64, 24576, 8, "bf16",
+    ("ssel C16 Q128 R24K remW512 (shipped)", 128, 128, 16, 128, 24576, 8,
+     "bf16", 512, 512),
+    ("ssel C24 Q84 R24K remW512", 128, 128, 24, 84, 24576, 8, "bf16",
      512, 512),
-    ("ssel C16 Q128 R24K remW512", 128, 128, 16, 128, 24576, 8, "bf16",
-     512, 512),
-    ("ssel C16 Q192 R24K remW512", 128, 128, 16, 192, 24576, 8, "bf16",
-     512, 512),
-    ("ssel C16 Q128 R32K remW512", 128, 128, 16, 128, 32768, 8, "bf16",
-     512, 512),
-    ("ssel C16 Q256 R24K remW512", 128, 128, 16, 256, 24576, 8, "bf16",
+    ("ssel C32 Q64 R24K remW512", 128, 128, 32, 64, 24576, 8, "bf16",
      512, 512),
 ]
 

@@ -125,6 +125,29 @@ def main():
     ))(x, g_ssel.chunks)
     check("ssel_spmm grad f32", g_got, g_want, 1e-5)
 
+    # ---- int8-selector (sep) ssel SpMM, bf16 vs f32 oracle ----
+    g_sep = preprocess_graph(ei, N, with_chunks=True, spmm_mode="ssel",
+                             chunk_dtype="bf16", slab_rows=2048)
+    assert g_sep.chunks.pre_scale is not None, "sep mode not engaged"
+    oracle_sep = jax.jit(
+        lambda xx: spmm(xx, g_sep.edge_src, g_sep.edge_dst,
+                        g_sep.gcn_weight, N)
+    )
+    want = oracle_sep(x)
+    got = jax.jit(
+        lambda xx, ch: slab_spmm(xx, ch, compute_dtype=jnp.bfloat16)
+    )(x, g_sep.chunks)
+    check("sep_spmm fwd bf16", got, want, 3e-2)
+
+    g_want = jax.jit(jax.grad(lambda xx: jnp.sum(oracle_sep(xx) * co)))(x)
+    g_got = jax.jit(jax.grad(
+        lambda xx, ch: jnp.sum(
+            slab_spmm(xx, ch, compute_dtype=jnp.bfloat16) * co
+        ),
+        argnums=0,
+    ))(x, g_sep.chunks)
+    check("sep_spmm grad bf16", g_got, g_want, 3e-2)
+
     # ---- runtime edge values (GAT aggregation) ----
     gp = preprocess_graph(ei, N, with_chunks=True, chunk_perm=True,
                           chunk_dtype="f32")

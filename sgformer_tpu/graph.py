@@ -175,6 +175,18 @@ def gcn_norm_weights(src: np.ndarray, dst: np.ndarray, num_nodes: int) -> np.nda
     return (dinv[dst] * dinv[src]).astype(np.float32)
 
 
+def gcn_norm_rs(dst: np.ndarray, num_nodes: int) -> np.ndarray:
+    """The separable factor ``rs = 1/sqrt(d_in)`` of the symmetric GCN
+    normalization: ``gcn_norm_weights == rs[dst] * rs[src]`` exactly.
+    The slab SpMM's int8-selector mode exploits this separability
+    (kernels/slabs.py ``sep_rs``)."""
+    d = in_degree(dst, num_nodes)
+    with np.errstate(divide="ignore"):
+        dinv = 1.0 / np.sqrt(d)
+    dinv[~np.isfinite(dinv)] = 0.0
+    return dinv.astype(np.float32)
+
+
 def sort_by_dst(edge_index: np.ndarray):
     src, dst = edge_index
     order = np.argsort(dst, kind="stable")
@@ -267,6 +279,11 @@ def preprocess_graph(
         geo = dict(slab_geometry or {})
         if spmm_mode == "ssel":
             geo.setdefault("stream_sel", chunk_dtype)
+            if chunk_dtype == "bf16":
+                # int8 0/1 src selectors with x pre-scaled by rs=1/sqrt(d)
+                # (w = rs[src]*rs[dst] separability); bf16-path-only — the
+                # f32 path stays bit-exact vs the numpy oracle
+                geo.setdefault("sep_rs", gcn_norm_rs(dst, num_nodes))
         chunks = build_slabs(src, dst, weight, num_nodes,
                              slab_rows=slab_rows, **geo)
         if pyg_np is not None:

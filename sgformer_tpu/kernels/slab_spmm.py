@@ -34,12 +34,15 @@ from sgformer_tpu.kernels.spmm import _apply_plan, _zero_cotangent
 def _slab_kernel(
     win_ref, slab_ref,  # scalar prefetch: [n_steps] window / slab ids
     sub_ref, meta_ref, prev_ref, x_any, out_ref,
-    slab_scratch, dma_sem,
+    slab_scratch, acc_scratch, dma_sem,
     *, Q, C, B, W, R, H, compute_dtype,
 ):
     i = pl.program_id(0)
     prev_w = win_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, win_ref[i] != prev_w)
+    n = pl.num_programs(0)
+    nxt_w = win_ref[jnp.minimum(i + 1, n - 1)]
+    is_last = jnp.logical_or(i == n - 1, nxt_w != win_ref[i])
     prev_s = slab_ref[jnp.maximum(i - 1, 0)]
     new_slab = jnp.logical_or(i == 0, slab_ref[i] != prev_s)
 
@@ -107,31 +110,44 @@ def _slab_kernel(
         preferred_element_type=jnp.float32, precision=precision,
     )
 
-    # First window visit seeds the block from ``prev`` (the remote-path
-    # partial) — the separate local+remote add pass and its extra HBM
-    # round-trip disappear.
+    # Persistent f32 accumulation; the single per-window output write
+    # folds in ``prev`` (the remote-path partial) — the separate
+    # local+remote add pass and its extra HBM round-trip disappear.
     @pl.when(is_first)
     def _():
-        out_ref[:] = prev_ref[:] + acc
+        acc_scratch[:] = acc
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-        out_ref[:] = out_ref[:] + acc
+        acc_scratch[:] = acc_scratch[:] + acc
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = (
+            acc_scratch[:] + prev_ref[:].astype(jnp.float32)
+        ).astype(out_ref.dtype)
 
 
 def _ssel_kernel(
     win_ref, slab_ref,  # scalar prefetch: [n_steps] window / slab ids
     sub_ref, ssrc_ref, sdst_ref, prev_ref, x_any, out_ref,
-    slab_scratch, msgs_scratch, dma_sem,
+    slab_scratch, msgs_scratch, acc_scratch, dma_sem,
     *, Q, C, B, W, R, H, compute_dtype,
 ):
     """Streamed-selector variant: the src/dst one-hot selectors arrive
     prebuilt from HBM (``SlabPlanSide.sel_src``/``sel_dst``), so the VPU
     does no selector construction — the step is Q sub-block MXU matmuls
-    into ``msgs_scratch`` plus one [W, Q·C] x [Q·C, F] scatter matmul."""
+    into ``msgs_scratch`` plus one [W, Q·C] x [Q·C, F] scatter matmul.
+    Accumulation lives in a persistent f32 VMEM scratch; the output block
+    (prev + acc, in the — possibly bf16 — output dtype) is written ONCE on
+    the window's last step, halving the bf16 path's out/prev RMW HBM
+    traffic."""
     i = pl.program_id(0)
     prev_w = win_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, win_ref[i] != prev_w)
+    n = pl.num_programs(0)
+    nxt_w = win_ref[jnp.minimum(i + 1, n - 1)]
+    is_last = jnp.logical_or(i == n - 1, nxt_w != win_ref[i])
     prev_s = slab_ref[jnp.maximum(i - 1, 0)]
     new_slab = jnp.logical_or(i == 0, slab_ref[i] != prev_s)
 
@@ -150,7 +166,11 @@ def _ssel_kernel(
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
-    ssrc = ssrc_ref[0]  # [Q·C, B] weighted src one-hot
+    ssrc = ssrc_ref[0]  # [Q·C, B] weighted (bf16) or 0/1 (int8) src one-hot
+    if jnp.issubdtype(ssrc.dtype, jnp.integer):
+        # sep mode: one whole-block int8 -> compute-dtype convert per step
+        # (per-q i8 slices would be 32-sublane misaligned at C=16)
+        ssrc = ssrc.astype(compute_dtype)
     for q in range(Q):
         sub = sub_ref[0, 0, q]  # SMEM scalar: sub-block within slab
         blk = slab_scratch[pl.ds(pl.multiple_of(sub * B, B), B), :]
@@ -169,11 +189,17 @@ def _ssel_kernel(
 
     @pl.when(is_first)
     def _():
-        out_ref[:] = prev_ref[:] + acc
+        acc_scratch[:] = acc
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-        out_ref[:] = out_ref[:] + acc
+        acc_scratch[:] = acc_scratch[:] + acc
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = (
+            acc_scratch[:] + prev_ref[:].astype(jnp.float32)
+        ).astype(out_ref.dtype)
 
 
 def _apply_local_ssel(x_pad, prev, side: SlabPlanSide, compute_dtype,
@@ -206,6 +232,7 @@ def _apply_local_ssel(x_pad, prev, side: SlabPlanSide, compute_dtype,
         scratch_shapes=[
             pltpu.VMEM((R, F), x_pad.dtype),
             pltpu.VMEM((Q * C, F), compute_dtype),
+            pltpu.VMEM((W, F), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -216,7 +243,7 @@ def _apply_local_ssel(x_pad, prev, side: SlabPlanSide, compute_dtype,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((side.num_rows_out, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((side.num_rows_out, F), prev.dtype),
         # ``prev`` aliases the output: windows with no local chunks emit NO
         # grid step (plan skips them) and their rows pass through untouched
         # — ~20% fewer steps on the bench graph than writing every window
@@ -263,6 +290,7 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
         out_specs=pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
         scratch_shapes=[
             pltpu.VMEM((R, F), x_pad.dtype),
+            pltpu.VMEM((W, F), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -273,7 +301,7 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((side.num_rows_out, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((side.num_rows_out, F), prev.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * side.n_steps * Q * C * F * (B + W),
             bytes_accessed=(
@@ -300,9 +328,19 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
     xc = x.astype(compute_dtype)
     if x.shape[0] != n_pad:
         xc = jnp.pad(xc, ((0, n_pad - x.shape[0]), (0, 0)))
+    # sep (int8-selector) mode: local+remote aggregate the rs-pre-scaled
+    # features (the plans carry only the rs[dst] factor); the self-loop
+    # term below keeps the full weight on the raw features
+    xs = xc
+    if plan.pre_scale is not None:
+        xs = xc * plan.pre_scale[:, None].astype(compute_dtype)
     rows_out = side.num_rows_out
     if side.remote is not None:
-        prev = _apply_plan(xc, side.remote, compute_dtype, interpret)
+        # the remote partial is produced directly in the compute dtype —
+        # it is read back once per window by the local kernel (and aliased
+        # onto its output), so bf16 halves that round-trip
+        prev = _apply_plan(xs, side.remote, compute_dtype, interpret,
+                           out_dtype=compute_dtype)
         if prev.shape[0] > rows_out:
             # remote windows are coarser than local ones; trailing rows are
             # padding past n_pad and carry only zero-weight slots
@@ -310,8 +348,8 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
         elif prev.shape[0] < rows_out:
             prev = jnp.pad(prev, ((0, rows_out - prev.shape[0]), (0, 0)))
     else:
-        prev = jnp.zeros((rows_out, x.shape[1]), jnp.float32)
-    out = _apply_local(xc, prev, side, compute_dtype, interpret)[:n_pad]
+        prev = jnp.zeros((rows_out, x.shape[1]), compute_dtype)
+    out = _apply_local(xs, prev, side, compute_dtype, interpret)[:n_pad]
     out = out + plan.w_self[:, None] * xc.astype(jnp.float32)
     return out[: plan.num_nodes].astype(x.dtype)
 

@@ -181,24 +181,33 @@ class SlabPlanSide:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["fwd", "bwd", "w_self"],
+    data_fields=["fwd", "bwd", "w_self", "pre_scale"],
     meta_fields=["num_nodes", "n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
 class SlabSpMM:
     """Forward + transpose slab plans; self-loop weights are applied as a
-    plain elementwise ``w_self ⊙ x`` (no gather, no matmul)."""
+    plain elementwise ``w_self ⊙ x`` (no gather, no matmul).
+
+    ``pre_scale`` (int8-selector mode): [n_pad] f32 ``rs`` with
+    ``weight[e] == rs[src]*rs[dst]`` for every non-self edge (symmetric
+    GCN normalization).  The kernel input is pre-scaled ``rs ⊙ x``, the
+    src selectors are 0/1 **int8** (half the stream bytes of weighted
+    bf16), and the dst selectors carry ``rs[dst]``.  None = weighted
+    selectors (general edge weights)."""
 
     fwd: SlabPlanSide
     bwd: SlabPlanSide
     w_self: jax.Array  # [n_pad] f32
     num_nodes: int
     n_pad: int
+    pre_scale: Optional[jax.Array] = None
 
 
 def _build_side(
     src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair,
     remote_window_rows=1024, remote_chunk_edges=1024, stream_sel=None,
+    sep_rs=None,
 ) -> SlabPlanSide:
     """Edges must be relabeled to the packed order and EXCLUDE self-loops.
 
@@ -313,14 +322,17 @@ def _build_side(
     subblock = np.zeros((n_steps, 1, Q), dtype=np.int32)
     if stream_sel is not None:
         sdt = np.dtype(_np_stream_dtype(stream_sel))
-        sel_bytes = n_steps * Q * C * (B + W) * sdt.itemsize
+        src_dt = np.dtype(np.int8) if sep_rs is not None else sdt
+        sel_bytes = n_steps * Q * C * (
+            B * src_dt.itemsize + W * sdt.itemsize
+        )
         if sel_bytes > 8 * 2**30:
             raise ValueError(
                 f"stream_sel selector arrays would be "
                 f"{sel_bytes/2**30:.1f} GB; use meta mode (or a coarser "
                 f"geometry) at this scale"
             )
-        sel_src_a = np.zeros((n_steps, Q * C, B), dtype=sdt)
+        sel_src_a = np.zeros((n_steps, Q * C, B), dtype=src_dt)
         sel_dst_a = np.zeros((n_steps, W, Q * C), dtype=sdt)
     else:
         lsrc_a = np.zeros((n_steps, Q, C), dtype=np.int32)
@@ -340,8 +352,16 @@ def _build_side(
         subblock[chunk_step, 0, chunk_q] = chunk_sub.astype(np.int32)
         if stream_sel is not None:
             e_slot = e_q * C + slot_in_chunk
-            sel_src_a[e_step, e_slot, ls_rel] = lw.astype(np.float32)
-            sel_dst_a[e_step, ld % W, e_slot] = 1.0
+            if sep_rs is not None:
+                # separable weights: 0/1 int8 src selector (x arrives
+                # pre-scaled by rs[src]); the dst selector carries rs[dst]
+                sel_src_a[e_step, e_slot, ls_rel] = 1
+                sel_dst_a[e_step, ld % W, e_slot] = sep_rs[ld].astype(
+                    np.float32
+                )
+            else:
+                sel_src_a[e_step, e_slot, ls_rel] = lw.astype(np.float32)
+                sel_dst_a[e_step, ld % W, e_slot] = 1.0
         else:
             lsrc_a[e_step, e_q, slot_in_chunk] = ls_rel.astype(np.int32)
             ldst_a[e_step, e_q, slot_in_chunk] = (ld % W).astype(np.int32)
@@ -355,8 +375,11 @@ def _build_side(
     remote = None
     if len(rs):
         order = np.argsort(rd, kind="stable")
+        # sep mode: x arrives pre-scaled by rs[src], so the remote plan
+        # carries only the rs[dst] factor
+        rw_eff = sep_rs[rd] if sep_rs is not None else rw
         remote = _build_plan(
-            rs[order], rd[order], rw[order], n_pad,
+            rs[order], rd[order], rw_eff[order], n_pad,
             chunk_edges=remote_chunk_edges, window_rows=remote_window_rows,
         )
 
@@ -430,6 +453,7 @@ def build_slabs(
     remote_chunk_edges: int = 512,
     stream_sel: Optional[str] = None,
     symmetric: Optional[bool] = None,
+    sep_rs: Optional[np.ndarray] = None,
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
     into the packed (clustered) node order — see
@@ -455,10 +479,28 @@ def build_slabs(
     np.add.at(w_self, src[self_mask], weight[self_mask])
     src, dst, weight = src[~self_mask], dst[~self_mask], weight[~self_mask]
 
+    if sep_rs is not None:
+        # int8-selector mode is only valid when the edge weights really
+        # factor as rs[src]*rs[dst] (symmetric normalization) and the
+        # stream is bf16 (the f32 path stays bit-exact vs the oracle);
+        # otherwise silently fall back to weighted selectors
+        sep_rs = np.asarray(sep_rs, dtype=np.float32)
+        ok = (
+            stream_sel == "bf16"
+            and len(sep_rs) >= num_nodes
+            and np.allclose(weight, sep_rs[src] * sep_rs[dst],
+                            rtol=1e-5, atol=1e-12)
+        )
+        if ok:
+            sep_rs = np.pad(sep_rs, (0, n_pad - len(sep_rs)))
+        else:
+            sep_rs = None
+
     kw = dict(W=window_rows, B=block_rows, C=chunk_edges, Q=chunks_per_step,
               R=R, H=H, min_pair=min_pair,
               remote_window_rows=remote_window_rows,
-              remote_chunk_edges=remote_chunk_edges, stream_sel=stream_sel)
+              remote_chunk_edges=remote_chunk_edges, stream_sel=stream_sel,
+              sep_rs=sep_rs)
     fwd = _build_side(src, dst, weight, n_pad, **kw)
     if symmetric is None:
         symmetric = _is_symmetric(src, dst, weight, num_nodes)
@@ -466,6 +508,7 @@ def build_slabs(
     return SlabSpMM(
         fwd=fwd, bwd=bwd, w_self=jnp.asarray(w_self),
         num_nodes=int(num_nodes), n_pad=int(n_pad),
+        pre_scale=None if sep_rs is None else jnp.asarray(sep_rs),
     )
 
 

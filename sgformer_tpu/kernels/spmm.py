@@ -31,10 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 from sgformer_tpu.kernels.chunks import ChunkedSpMM, ChunkPlan
 
 
-def _spmm_kernel(wid_ref, dst_ref, w_ref, msgs_ref, out_ref):
+def _spmm_kernel(wid_ref, dst_ref, w_ref, msgs_ref, out_ref, acc_ref):
     i = pl.program_id(0)
     prev = wid_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, wid_ref[i] != prev)
+    n = pl.num_programs(0)
+    nxt = wid_ref[jnp.minimum(i + 1, n - 1)]
+    is_last = jnp.logical_or(i == n - 1, nxt != wid_ref[i])
 
     dst = dst_ref[0]  # [1, C] window-local destination rows
     C = dst.shape[1]
@@ -60,22 +63,34 @@ def _spmm_kernel(wid_ref, dst_ref, w_ref, msgs_ref, out_ref):
         precision=precision,
     )
 
+    # Accumulate in a persistent f32 VMEM scratch and write the output
+    # block ONCE per window in its own (possibly bf16) dtype: the output
+    # RMW traffic (one [W, F] read + write per window) halves on the bf16
+    # path, and accumulation precision is unchanged.
     @pl.when(is_first)
     def _():
-        out_ref[:] = acc
+        acc_ref[:] = acc
 
     @pl.when(jnp.logical_not(is_first))
     def _():
-        out_ref[:] = out_ref[:] + acc
+        acc_ref[:] = acc_ref[:] + acc
+
+    @pl.when(is_last)
+    def _():
+        out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
-def _apply_plan(x, plan: ChunkPlan, compute_dtype, interpret: bool):
+def _apply_plan(x, plan: ChunkPlan, compute_dtype, interpret: bool,
+                out_dtype=jnp.float32):
     if plan.stream_cuts is not None:
-        return _apply_plan_streamed(x, plan, compute_dtype, interpret)
-    return _apply_plan_single(x, plan, compute_dtype, interpret)
+        return _apply_plan_streamed(x, plan, compute_dtype, interpret,
+                                    out_dtype)
+    return _apply_plan_single(x, plan, compute_dtype, interpret,
+                              out_dtype=out_dtype)
 
 
-def _apply_plan_streamed(x, plan: ChunkPlan, compute_dtype, interpret: bool):
+def _apply_plan_streamed(x, plan: ChunkPlan, compute_dtype, interpret: bool,
+                         out_dtype=jnp.float32):
     """Stream the plan through its host-precomputed window-aligned segments
     (``ChunkPlan.stream_cuts``); each segment owns a disjoint window range,
     so the outputs concatenate.  Bounds the [E, F] message buffer to
@@ -96,12 +111,14 @@ def _apply_plan_streamed(x, plan: ChunkPlan, compute_dtype, interpret: bool):
             num_chunks=end - start,
             stream_cuts=None,
         )
-        outs.append(_apply_plan_single(x, sub, compute_dtype, interpret))
+        outs.append(_apply_plan_single(x, sub, compute_dtype, interpret,
+                                       out_dtype=out_dtype))
     return jnp.concatenate(outs, axis=0)
 
 
 def _apply_plan_single(
-    x, plan: ChunkPlan, compute_dtype, interpret: bool, weights=None
+    x, plan: ChunkPlan, compute_dtype, interpret: bool, weights=None,
+    out_dtype=jnp.float32,
 ):
     C, W = plan.chunk_edges, plan.window_rows
     F = x.shape[1]
@@ -127,16 +144,17 @@ def _apply_plan_single(
             pl.BlockSpec((1, C, F), lambda i, wid: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((W, F), lambda i, wid: (wid[i], 0)),
+        scratch_shapes=[pltpu.VMEM((W, F), jnp.float32)],
     )
     out = pl.pallas_call(
         _spmm_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((plan.num_rows_out, F), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((plan.num_rows_out, F), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * plan.num_chunks * C * W * F,
             bytes_accessed=(
                 plan.num_chunks * C * F * msgs.dtype.itemsize
-                + plan.num_rows_out * F * 4
+                + plan.num_rows_out * F * jnp.dtype(out_dtype).itemsize
             ),
             transcendentals=0,
         ),
@@ -166,9 +184,12 @@ def _zero_cotangent(tree):
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _spmm_core(compute_dtype_name: str, interpret: bool, x, plan):
     dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
-    return _apply_plan(x, plan.fwd, dtype, interpret)[: plan.rows_fwd].astype(
-        x.dtype
-    )
+    # emit in x's dtype directly when it matches compute (halves the out
+    # write + skips the cast); mixed f32-x/bf16-msgs keeps the f32 out
+    out_dt = dtype if x.dtype == dtype else jnp.float32
+    return _apply_plan(
+        x, plan.fwd, dtype, interpret, out_dtype=out_dt
+    )[: plan.rows_fwd].astype(x.dtype)
 
 
 def _spmm_core_fwd(compute_dtype_name, interpret, x, plan):
@@ -178,9 +199,10 @@ def _spmm_core_fwd(compute_dtype_name, interpret, x, plan):
 def _spmm_core_bwd(compute_dtype_name, interpret, plan, g):
     dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
     # x and the forward output share a dtype, so g.dtype is x.dtype
-    dx = _apply_plan(g, plan.bwd, dtype, interpret)[: plan.rows_bwd].astype(
-        g.dtype
-    )
+    out_dt = dtype if g.dtype == dtype else jnp.float32
+    dx = _apply_plan(
+        g, plan.bwd, dtype, interpret, out_dtype=out_dt
+    )[: plan.rows_bwd].astype(g.dtype)
     return dx, _zero_cotangent(plan)
 
 

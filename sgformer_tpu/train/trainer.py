@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from flax.core import freeze
+from flax.core import FrozenDict, freeze
 
 from sgformer_tpu.data.metrics import METRICS
 from sgformer_tpu.graph import Graph
@@ -52,16 +52,28 @@ class TrainConfig:
 
 
 def cross_entropy_loss(logits, labels, idx):
-    """log_softmax + NLL on the selected nodes (large/main.py:139-141)."""
-    logp = jax.nn.log_softmax(logits[idx])
-    return -jnp.take_along_axis(logp, labels[idx][:, None], axis=1).mean()
+    """log_softmax + NLL on the selected nodes (large/main.py:139-141).
+
+    Computed as a masked full-N reduction rather than ``logits[idx]``:
+    the row gather (and its backward scatter) is row-rate-bound on TPU
+    (~7.4 ns/row) and measured 2.5 ms of the arxiv-shaped train step,
+    while the mask build + full-N elementwise fuse into the surrounding
+    chains (scripts/microbench_nonspmm2.py).  Same value: sum over the
+    selected nodes divided by their count."""
+    mask = jnp.zeros((logits.shape[0],), jnp.float32).at[idx].set(1.0)
+    logp = jax.nn.log_softmax(logits)
+    onehot = jax.nn.one_hot(labels, logits.shape[1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=1)
+    return jnp.sum(nll * mask) / idx.shape[0]
 
 
 def bce_loss(logits, labels_onehot, idx):
-    """BCEWithLogitsLoss on the selected nodes (large/main.py:134-137)."""
-    logit = logits[idx]
-    lab = labels_onehot[idx].astype(logit.dtype)
-    return optax.sigmoid_binary_cross_entropy(logit, lab).mean()
+    """BCEWithLogitsLoss on the selected nodes (large/main.py:134-137);
+    masked full-N form for the same reason as ``cross_entropy_loss``."""
+    mask = jnp.zeros((logits.shape[0],), jnp.float32).at[idx].set(1.0)
+    lab = labels_onehot.astype(logits.dtype)
+    per = optax.sigmoid_binary_cross_entropy(logits, lab).mean(axis=-1)
+    return jnp.sum(per * mask) / idx.shape[0]
 
 
 class Trainer:
@@ -212,8 +224,9 @@ class Trainer:
         over this environment's relay it is ~2.8 ms/dispatch) — between
         evals the whole epoch block can run device-side.  The dropout-key
         chain reproduces the per-epoch loop exactly (``rng, drop =
-        split(rng)`` per step), so a fused block is bit-identical to ``k``
-        single steps; returns ``(state, opt_state, rng_out, losses[k])``.
+        split(rng)`` per step), so a fused block matches ``k`` single
+        steps up to XLA reduction-order (~1 ulp on the loss; tested);
+        returns ``(state, opt_state, rng_out, losses[k])``.
         """
         loss_fn = self._make_loss_fn()
 
@@ -231,6 +244,13 @@ class Trainer:
                     loss_fn, has_aux=True
                 )(state["params"], state["batch_stats"], drop_rng, train_idx,
                   x, graph)
+                # BN-less models: init_state's empty batch_stats is a
+                # FrozenDict but apply's mutated copy is a plain dict —
+                # the scan carry needs one pytree structure
+                if isinstance(state["batch_stats"], FrozenDict) and not (
+                    isinstance(new_bs, FrozenDict)
+                ):
+                    new_bs = freeze(new_bs)
                 updates, opt_state = tx.update(grads, opt_state,
                                                state["params"])
                 params = optax.apply_updates(state["params"], updates)

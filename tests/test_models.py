@@ -222,3 +222,39 @@ def test_sgformer_remat_with_pallas_chunks(small_graph):
     grads = jax.jit(jax.grad(loss))(variables["params"])
     assert all(np.all(np.isfinite(np.asarray(l)))
                for l in jax.tree_util.tree_leaves(grads))
+
+
+def test_fast_dropout_statistics_and_scaling():
+    """nn/layers.py::Dropout draws 8-bit masks for rates on the 1/256
+    grid: Bernoulli(keep) statistics, 1/keep scaling, zeros elsewhere,
+    deterministic pass-through."""
+    import jax
+    import jax.numpy as jnp
+
+    from sgformer_tpu.nn.layers import Dropout
+
+    x = jnp.ones((4000, 64), jnp.float32)
+    y = Dropout(0.5, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(0)}
+    )
+    y = np.asarray(y)
+    kept = y != 0.0
+    assert np.allclose(y[kept], 2.0)  # 1/keep scaling
+    frac = kept.mean()
+    assert 0.48 < frac < 0.52  # ~Bernoulli(0.5) over 256K draws
+
+    # off-grid rate falls back to exact bernoulli; still correct scaling
+    y2 = np.asarray(Dropout(1 / 3, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(1)}
+    ))
+    kept2 = y2 != 0.0
+    assert np.allclose(y2[kept2], 1.5)
+    assert 0.63 < kept2.mean() < 0.70
+
+    # deterministic / rate-0 pass through unchanged
+    z = Dropout(0.5, deterministic=True).apply({}, x)
+    np.testing.assert_array_equal(np.asarray(z), np.asarray(x))
+    z0 = Dropout(0.0, deterministic=False).apply(
+        {}, x, rngs={"dropout": jax.random.PRNGKey(2)}
+    )
+    np.testing.assert_array_equal(np.asarray(z0), np.asarray(x))

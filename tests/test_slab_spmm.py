@@ -365,3 +365,72 @@ def test_ssel_remote_only_windows_pass_through():
                                compute_dtype=jnp.float32, interpret=True))
     assert np.abs(want[256:]).sum() > 0  # the remote rows are nonzero
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# Separable int8-selector (sep) mode
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sep_problem(problem):
+    s2, d2, w2, n, _, x = problem
+    deg = np.bincount(d2, minlength=n).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        rs = (1.0 / np.sqrt(deg)).astype(np.float32)
+    rs[~np.isfinite(rs)] = 0.0
+    plan = build_slabs(s2, d2, w2, n, stream_sel="bf16", sep_rs=rs,
+                       **PARAMS)
+    return s2, d2, w2, n, plan, x
+
+
+def test_sep_plan_is_int8_with_pre_scale(sep_problem):
+    s2, d2, w2, n, plan, x = sep_problem
+    assert plan.fwd.sel_src.dtype == jnp.int8
+    assert plan.fwd.sel_dst.dtype == jnp.bfloat16
+    assert plan.pre_scale is not None and plan.pre_scale.shape[0] == plan.n_pad
+
+
+def test_sep_fwd_close(sep_problem):
+    s2, d2, w2, n, plan, x = sep_problem
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.bfloat16, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_sep_grad_close(sep_problem):
+    s2, d2, w2, n, plan, x = sep_problem
+    co = np.random.default_rng(5).standard_normal((n, 32)).astype(np.float32)
+
+    def f_slab(xx):
+        return jnp.sum(slab_spmm(xx, plan, compute_dtype=jnp.bfloat16,
+                                 interpret=True) * co)
+
+    def f_ref(xx):
+        return jnp.sum(spmm(xx, jnp.asarray(s2), jnp.asarray(d2),
+                            jnp.asarray(w2), n) * co)
+
+    g1 = np.asarray(jax.grad(f_slab)(jnp.asarray(x)))
+    g2 = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(g1, g2, rtol=0.05, atol=0.05)
+
+
+def test_sep_falls_back_on_non_separable_weights(problem):
+    s2, d2, w2, n, _, x = problem
+    rng = np.random.default_rng(9)
+    w_rand = (w2 * (0.5 + rng.random(len(w2)))).astype(np.float32)
+    rs = np.ones(n, dtype=np.float32)
+    plan = build_slabs(s2, d2, w_rand, n, stream_sel="bf16", sep_rs=rs,
+                       **PARAMS)
+    assert plan.pre_scale is None
+    assert plan.fwd.sel_src.dtype == jnp.bfloat16
+
+
+def test_sep_falls_back_on_f32_stream(problem):
+    s2, d2, w2, n, _, x = problem
+    deg = np.bincount(d2, minlength=n).astype(np.float64)
+    rs = (1.0 / np.sqrt(deg)).astype(np.float32)
+    plan = build_slabs(s2, d2, w2, n, stream_sel="f32", sep_rs=rs, **PARAMS)
+    assert plan.pre_scale is None and plan.fwd.sel_src.dtype == jnp.float32

@@ -150,7 +150,9 @@ def test_training_is_deterministic():
 def test_fused_multi_step_matches_single_steps():
     """eval_step>1 runs epoch blocks as ONE lax.scan dispatch
     (Trainer._build_multi_step); the dropout-key chain reproduces the
-    per-epoch loop, so trajectories are bit-identical to single steps."""
+    per-epoch loop, so trajectories match single steps exactly up to
+    XLA reduction-order differences between the scanned and standalone
+    compilations (~1 ulp on the loss)."""
     from sgformer_tpu.data.loaders import synthetic_dataset
 
     ds = synthetic_dataset(num_nodes=150, num_edges=900, num_features=8,
@@ -177,4 +179,27 @@ def test_fused_multi_step_matches_single_steps():
     plain_tr, plain = run(_PlainTrainer)
     assert fused_tr._multi_steps and not plain_tr._multi_steps
     assert len(fused) == len(plain) > 1
-    assert fused == plain  # exact equality, every eval's metrics
+    for f_res, p_res in zip(fused, plain):
+        # metrics (accuracies) exactly equal; the valid-loss float may
+        # drift ~1 ulp from scan-vs-standalone reduction tiling
+        assert f_res[:3] == p_res[:3]
+        np.testing.assert_allclose(f_res[3], p_res[3], rtol=1e-5)
+
+
+def test_fused_multi_step_without_batchnorm():
+    """BN-less models (empty batch_stats) must run the fused scan path:
+    the FrozenDict/dict carry-structure mismatch regression."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+
+    ds = synthetic_dataset(num_nodes=120, num_edges=700, num_features=8,
+                           num_classes=3, seed=0)
+    g = preprocess_graph(ds.graph["edge_index"], ds.num_nodes)
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    model = SGFormer(SGFormerConfig.large(16, 3, gnn_use_bn=False,
+                                          trans_use_bn=False))
+    tc = TrainConfig(lr=0.01, epochs=6, eval_step=3, seed=7,
+                     display_step=-1)
+    trainer = Trainer(model, g, ds.graph["node_feat"], ds.label, tc)
+    logger = trainer.fit([split])
+    assert trainer._multi_steps
+    assert len(logger.results[0]) >= 2
