@@ -50,10 +50,10 @@ def main(dry: bool = False):
         num_classes=40,
         seed=0,
     )
-    # ssel slab mode: clustering reorder (~50 s host, one-time preprocessing
-    # like the reference's to_undirected pass) + gather-free local
-    # aggregation with host-prebuilt streamed selectors (geometry sweep:
-    # scripts/microbench_slab_geom.py)
+    # ssel slab mode: clustering reorder (~6 s host via csrc::lpa_cluster,
+    # one-time preprocessing like the reference's to_undirected pass) +
+    # gather-free local aggregation with host-prebuilt streamed selectors
+    # (geometry sweep: scripts/microbench_slab_geom.py)
     graph = preprocess_graph(
         ds.graph["edge_index"], num_nodes, with_chunks=True,
         spmm_mode="ssel",

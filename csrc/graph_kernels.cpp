@@ -17,6 +17,9 @@
 #include <cstring>
 #include <algorithm>
 #include <cmath>
+#include <vector>
+#include <thread>
+#include <atomic>
 
 extern "C" {
 
@@ -109,6 +112,7 @@ int64_t sample_neighbors(const int64_t* indptr, const int64_t* indices,
   }
   return n;
 }
+
 
 }  // extern "C"
 
@@ -260,6 +264,115 @@ int64_t sample_batch(const int64_t* indptr, const int64_t* indices,
     node_mask[i] = i < n_real ? 1.0f : 0.0f;
   }
   return n_real;
+}
+
+
+// ---------------------------------------------------------------------------
+// Label-propagation clustering (the slab SpMM's locality reorder)
+// ---------------------------------------------------------------------------
+//
+// Semantics mirror kernels/slabs.py::label_propagation: synchronous sweeps
+// where each node adopts the most frequent label among its neighbors with a
+// random tie-break (count + U[0, 0.5)), labels at/above max_size stop
+// attracting NEW members, early stop when stable.  The numpy version is
+// O(iters * E log E) in global lexsorts (~45 s on the 2.5M-edge arxiv-shaped
+// bench graph); this is O(iters * E) with per-node neighbor-label sorts and
+// threads over nodes.  RNG is per (sweep, node) splitmix64 — deterministic
+// and thread-count independent (but a DIFFERENT stream than numpy's: cluster
+// assignments are seed-dependent either way, quality is what is tested).
+
+static inline uint64_t lpa_mix(uint64_t z) {
+  z += 0x9e3779b97f4a7c15ull;
+  z = (z ^ (z >> 30)) * 0xbf58476d1ce4e5b9ull;
+  z = (z ^ (z >> 27)) * 0x94d049bb133111ebull;
+  return z ^ (z >> 31);
+}
+
+int64_t lpa_cluster(const int64_t* src, const int64_t* dst, int64_t n_edges,
+                    int64_t n_nodes, int64_t iters, int64_t max_size,
+                    uint64_t seed, int64_t* labels_out) {
+  if (n_nodes <= 0) return 0;
+  // dst-CSR of in-neighbors (the edge list is undirected, so these are all
+  // neighbors)
+  std::vector<int64_t> indptr(n_nodes + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) indptr[dst[e] + 1]++;
+  for (int64_t i = 0; i < n_nodes; ++i) indptr[i + 1] += indptr[i];
+  std::vector<int64_t> indices(n_edges);
+  {
+    std::vector<int64_t> pos(indptr.begin(), indptr.end() - 1);
+    for (int64_t e = 0; e < n_edges; ++e) indices[pos[dst[e]]++] = src[e];
+  }
+
+  std::vector<int64_t> labels(n_nodes), next(n_nodes), sizes(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) labels[i] = i;
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? (int64_t)hw : 4;
+  if (n_threads > n_nodes) n_threads = n_nodes > 0 ? n_nodes : 1;
+
+  int64_t sweep = 0;
+  for (; sweep < iters; ++sweep) {
+    std::fill(sizes.begin(), sizes.end(), 0);
+    for (int64_t i = 0; i < n_nodes; ++i) sizes[labels[i]]++;
+
+    std::atomic<bool> changed(false);
+    auto work = [&](int64_t lo, int64_t hi) {
+      std::vector<int64_t> nb;
+      for (int64_t d = lo; d < hi; ++d) {
+        int64_t e0 = indptr[d], e1 = indptr[d + 1];
+        next[d] = labels[d];
+        if (e1 == e0) continue;
+        nb.resize(e1 - e0);
+        for (int64_t e = e0; e < e1; ++e) nb[e - e0] = labels[indices[e]];
+        std::sort(nb.begin(), nb.end());
+        double best_key = 0.0;
+        int64_t best_label = labels[d];
+        bool found = false;
+        for (size_t a = 0; a < nb.size();) {
+          size_t b = a;
+          while (b < nb.size() && nb[b] == nb[a]) ++b;
+          int64_t gl = nb[a];
+          int64_t count = (int64_t)(b - a);
+          // full labels stop attracting new members
+          if (!(sizes[gl] >= max_size && gl != labels[d])) {
+            uint64_t h = lpa_mix(seed ^ lpa_mix((uint64_t)sweep * 0x51ul ^
+                                                (uint64_t)d) ^
+                                 (uint64_t)gl * 0x2545f4914f6cdd1dull);
+            double key = (double)count +
+                         0.5 * ((double)(h >> 11) * 0x1.0p-53);
+            if (!found || key > best_key) {
+              best_key = key;
+              best_label = gl;
+              found = true;
+            }
+          }
+          a = b;
+        }
+        if (found && best_label != labels[d]) {
+          next[d] = best_label;
+          changed.store(true, std::memory_order_relaxed);
+        }
+      }
+    };
+    if (n_threads <= 1) {
+      work(0, n_nodes);
+    } else {
+      std::vector<std::thread> ts;
+      int64_t per = (n_nodes + n_threads - 1) / n_threads;
+      for (int64_t t = 0; t < n_threads; ++t) {
+        int64_t lo = t * per, hi = std::min(n_nodes, lo + per);
+        if (lo < hi) ts.emplace_back(work, lo, hi);
+      }
+      for (auto& t : ts) t.join();
+    }
+    labels.swap(next);
+    if (!changed.load()) {
+      ++sweep;
+      break;
+    }
+  }
+  std::memcpy(labels_out, labels.data(), sizeof(int64_t) * n_nodes);
+  return sweep;
 }
 
 }  // extern "C"

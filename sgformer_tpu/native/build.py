@@ -33,7 +33,8 @@ def _compile() -> Optional[str]:
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     tmp = tempfile.mktemp(suffix=".so", dir=os.path.dirname(out))
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src, "-o", tmp]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
+           src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(tmp, out)
@@ -76,6 +77,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.sample_batch.argtypes = [
             P(i64), P(i64), P(i64), i64, P(i64), i64, i64, i64, u64,
             P(i64), P(i32), P(i32), P(f32), P(f32), P(i64),
+        ]
+        lib.lpa_cluster.restype = i64
+        lib.lpa_cluster.argtypes = [
+            P(i64), P(i64), i64, i64, i64, i64, u64, P(i64),
         ]
         _LIB = lib
         return _LIB
