@@ -33,28 +33,12 @@ from sgformer_tpu.parallel.partition import (
 from sgformer_tpu.train.trainer import Trainer
 
 
-def make_sharded_steps(
-    model, tx, mesh, axis_name: str = "sp", loss: str = "nll",
-    donate: bool = True,
-):
-    """Build (train_step, eval_step) shard_map'd over ``mesh[axis_name]``.
+def _make_one_step(model, tx, axis_name: str, loss: str):
+    """One SPMD train step on the LOCAL graph with a per-epoch key —
+    shared by the single-step core and the fused multi-step scan body."""
 
-    train_step(state, opt_state, rng, train_mask, x, graph, label, node_mask)
-      -> (state, opt_state, loss)
-    eval_step(state, x, graph, node_mask) -> [total_nodes, C] logits
-
-    ``donate`` (default on) donates params/batch_stats/opt_state into the
-    step — the training loop threads fresh state through every call, so XLA
-    updates Adam moments and params in place instead of doubling their HBM
-    footprint.  Pass ``donate=False`` only if the caller must reuse the
-    pre-step state buffers afterwards (equality tests do).
-    """
-    rep = P()
-    nvec = P(axis_name)
-    nmat = P(axis_name, None)
-
-    def train_core(params, batch_stats, opt_state, rng, train_mask, x, g, label, node_mask):
-        g = g.local()
+    def one_step(params, batch_stats, opt_state, rng, train_mask, x, g,
+                 label, node_mask):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
         def loss_fn(p):
@@ -88,6 +72,90 @@ def make_sharded_steps(
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, lv
+
+    return one_step
+
+
+def make_sharded_multi_step(
+    model, tx, mesh, k: int, axis_name: str = "sp", loss: str = "nll",
+    donate: bool = True,
+):
+    """``k`` SPMD train steps fused into ONE dispatch: the key chain and
+    a ``lax.scan`` over :func:`_make_one_step` run INSIDE the shard_map
+    program (collectives per step ride the mesh as usual), so between
+    evals there is no host round-trip per epoch — the sharded counterpart
+    of ``Trainer._build_multi_step``.
+
+    multi_step(state..., rng, train_mask, x, graph, label, node_mask)
+      -> (params, batch_stats, opt_state, rng_out, losses[k])
+    """
+    rep = P()
+    nvec = P(axis_name)
+    nmat = P(axis_name, None)
+    one_step = _make_one_step(model, tx, axis_name, loss)
+
+    def multi_core(params, batch_stats, opt_state, rng, train_mask, x, g,
+                   label, node_mask):
+        g = g.local()
+
+        def chain(r, _):
+            r, d = jax.random.split(r)
+            return r, d
+
+        rng_out, drops = jax.lax.scan(chain, rng, None, length=k)
+
+        def body(carry, drop):
+            params, batch_stats, opt_state = carry
+            params, batch_stats, opt_state, lv = one_step(
+                params, batch_stats, opt_state, drop, train_mask, x, g,
+                label, node_mask,
+            )
+            return (params, batch_stats, opt_state), lv
+
+        (params, batch_stats, opt_state), lvs = jax.lax.scan(
+            body, (params, batch_stats, opt_state), drops
+        )
+        return params, batch_stats, opt_state, rng_out, lvs
+
+    label_spec = nmat if loss == "bce" else nvec
+    return jax.jit(
+        jax.shard_map(
+            multi_core,
+            mesh=mesh,
+            in_specs=(rep, rep, rep, rep, nvec, nmat, nvec, label_spec,
+                      nvec),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        ),
+        donate_argnums=(0, 1, 2) if donate else (),
+    )
+
+
+def make_sharded_steps(
+    model, tx, mesh, axis_name: str = "sp", loss: str = "nll",
+    donate: bool = True,
+):
+    """Build (train_step, eval_step) shard_map'd over ``mesh[axis_name]``.
+
+    train_step(state, opt_state, rng, train_mask, x, graph, label, node_mask)
+      -> (state, opt_state, loss)
+    eval_step(state, x, graph, node_mask) -> [total_nodes, C] logits
+
+    ``donate`` (default on) donates params/batch_stats/opt_state into the
+    step — the training loop threads fresh state through every call, so XLA
+    updates Adam moments and params in place instead of doubling their HBM
+    footprint.  Pass ``donate=False`` only if the caller must reuse the
+    pre-step state buffers afterwards (equality tests do).
+    """
+    rep = P()
+    nvec = P(axis_name)
+    nmat = P(axis_name, None)
+    one_step = _make_one_step(model, tx, axis_name, loss)
+
+    def train_core(params, batch_stats, opt_state, rng, train_mask, x, g,
+                   label, node_mask):
+        return one_step(params, batch_stats, opt_state, rng, train_mask, x,
+                        g.local(), label, node_mask)
 
     label_spec = nmat if loss == "bce" else nvec
     train_step = jax.jit(
@@ -242,6 +310,29 @@ class ShardedTrainer(Trainer):
             return out[: self.num_real_nodes]
 
         return train_step, eval_step
+
+    def _build_multi_step(self, tx, k: int):
+        core = make_sharded_multi_step(
+            self.model, tx, self.mesh, k, self.axis_name,
+            loss=self.config.loss,
+        )
+
+        def multi_step(state, opt_state, rng, train_mask):
+            params, bs, opt_state, rng_out, losses = core(
+                state["params"],
+                state["batch_stats"],
+                opt_state,
+                rng,
+                train_mask,
+                self.x,
+                self.graph,
+                self.label_pad,
+                self.node_mask,
+            )
+            return ({"params": params, "batch_stats": bs}, opt_state,
+                    rng_out, losses)
+
+        return multi_step
 
     def _prepare_train_idx(self, split_idx):
         return jnp.asarray(

@@ -127,6 +127,7 @@ class Trainer:
         self._train_step = None
         self._eval_step = None
         self._multi_steps = {}  # k -> fused k-step fn (_build_multi_step)
+        self._fused_steps = True  # set False to force the per-epoch loop
         self._tx = None
 
     # -- state -------------------------------------------------------------
@@ -327,11 +328,18 @@ class Trainer:
             patience_ctr = 0
 
             # Between evals, epochs run as ONE fused device-side block
-            # (bit-identical to the per-epoch loop, see _build_multi_step);
-            # subclasses with their own step builders keep the plain loop.
+            # (same trajectory as the per-epoch loop up to reduction order,
+            # see _build_multi_step); subclasses that override the step
+            # builder keep the plain loop unless they provide their own
+            # fused builder (ShardedTrainer does).
             use_fused = (
                 cfg.eval_step > 1
-                and type(self)._build_steps is Trainer._build_steps
+                and self._fused_steps
+                and (
+                    type(self)._build_steps is Trainer._build_steps
+                    or type(self)._build_multi_step
+                    is not Trainer._build_multi_step
+                )
             )
             epoch = 0
             while epoch < cfg.epochs:

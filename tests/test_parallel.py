@@ -466,3 +466,43 @@ def test_sharded_trainer_reordered_graph_learns():
     split = ds.get_idx_split(rng=np.random.default_rng(0))
     logger = trainer.fit([split])
     assert logger.run_summary(0)["final_test"] > 0.5
+
+
+def test_sharded_fused_multi_step_matches_single_steps(problem):
+    """eval_step>1 runs sharded epoch blocks as ONE shard_map dispatch
+    (make_sharded_multi_step: key chain + lax.scan inside the SPMD
+    program); metrics match the per-epoch sharded loop exactly, losses up
+    to reduction order."""
+    g, x, label = problem
+
+    class _PlainSharded(ShardedTrainer):
+        """Per-epoch loop forced via the _fused_steps opt-out."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self._fused_steps = False
+
+    def run(cls):
+        cfg = SGFormerConfig.large(16, 4, gnn_num_layers=2, axis_name="sp")
+        tc = TrainConfig(lr=0.02, epochs=8, eval_step=3, seed=5,
+                         display_step=-1)
+        trainer = cls(
+            SGFormer(cfg), g, x, label, tc,
+            mesh=make_mesh((N_DEV,), ("sp",)),
+        )
+        rng = np.random.default_rng(0)
+        split = {
+            "train": np.arange(0, 50, 2),
+            "valid": np.arange(1, 50, 4),
+            "test": np.arange(3, 50, 4),
+        }
+        logger = trainer.fit([split])
+        return trainer, logger.results[0]
+
+    fused_tr, fused = run(ShardedTrainer)
+    plain_tr, plain = run(_PlainSharded)
+    assert fused_tr._multi_steps
+    assert len(fused) == len(plain) > 1
+    for f_res, p_res in zip(fused, plain):
+        assert f_res[:3] == p_res[:3]
+        np.testing.assert_allclose(f_res[3], p_res[3], rtol=1e-5)
