@@ -13,6 +13,13 @@ python -m pytest tests/ -q
 echo "== bench.py --dry (end-to-end bench path smoke) =="
 python bench.py --dry
 
+echo "== multichip dryrun (8 virtual CPU devices) =="
+XLA_FLAGS=--xla_force_host_platform_device_count=8 python -c "
+import jax; jax.config.update('jax_platforms', 'cpu')
+import __graft_entry__ as ge
+ge.dryrun_multichip(8)
+print('dryrun OK')"
+
 if [[ "${CI_SKIP_TPU:-0}" != "1" ]]; then
   echo "== on-chip Pallas kernel gate (compiled-vs-oracle) =="
   PYTHONPATH="$PWD:/root/.axon_site" python scripts/verify_kernels.py
