@@ -148,6 +148,31 @@ def main():
     ))(x, g_sep.chunks)
     check("sep_spmm grad bf16", g_got, g_want, 3e-2)
 
+    # ---- hub-resident scratch tail (power-law mode), f32 exact ----
+    g_hub = preprocess_graph(ei, N, with_chunks=True, spmm_mode="ssel",
+                             chunk_dtype="f32", slab_rows=2048,
+                             slab_geometry={"hub_rows": 256,
+                                            "min_pair": 2})
+    assert g_hub.chunks.fwd.hub_ids is not None, "hub mode not engaged"
+    oracle_h = jax.jit(
+        lambda xx: spmm(xx, g_hub.edge_src, g_hub.edge_dst,
+                        g_hub.gcn_weight, N)
+    )
+    want = oracle_h(x)
+    got = jax.jit(
+        lambda xx, ch: slab_spmm(xx, ch, compute_dtype=jnp.float32)
+    )(x, g_hub.chunks)
+    check("hub_spmm fwd f32", got, want, 1e-5)
+
+    g_want = jax.jit(jax.grad(lambda xx: jnp.sum(oracle_h(xx) * co)))(x)
+    g_got = jax.jit(jax.grad(
+        lambda xx, ch: jnp.sum(
+            slab_spmm(xx, ch, compute_dtype=jnp.float32) * co
+        ),
+        argnums=0,
+    ))(x, g_hub.chunks)
+    check("hub_spmm grad f32", g_got, g_want, 1e-5)
+
     # ---- runtime edge values (GAT aggregation) ----
     gp = preprocess_graph(ei, N, with_chunks=True, chunk_perm=True,
                           chunk_dtype="f32")

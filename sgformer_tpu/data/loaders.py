@@ -43,18 +43,30 @@ def synthetic_dataset(
     num_classes: int = 7,
     seed: int = 0,
     homophily: float = 0.8,
+    powerlaw: float = 0.0,
 ) -> NCDataset:
     """Planted-partition graph with class-correlated features: a stand-in
     for Cora/arxiv-scale graphs when no data is on disk.  Homophilous edges
     make the task learnable so trainer tests can assert loss decreases and
-    accuracy beats chance."""
+    accuracy beats chance.  ``powerlaw`` > 0 draws edge endpoints from a
+    Zipf(``powerlaw``) popularity over a random node permutation — the
+    scale-free degree profile of real citation/social graphs (ogbn-arxiv,
+    pokec), which concentrates cross-cluster edges on hub nodes."""
     rng = np.random.default_rng(seed)
     label = rng.integers(0, num_classes, num_nodes)
     # class-conditional gaussian features
     centers = rng.standard_normal((num_classes, num_features)) * 2.0
     feat = centers[label] + rng.standard_normal((num_nodes, num_features))
+    if powerlaw > 0.0:
+        # Zipf-ish popularity, shuffled so hubs are scattered over ids
+        pop = (np.arange(1, num_nodes + 1, dtype=np.float64) + 10.0) ** (
+            -powerlaw
+        )
+        pop = rng.permutation(pop / pop.sum())
+        src = rng.choice(num_nodes, size=num_edges, p=pop)
+    else:
+        src = rng.integers(0, num_nodes, num_edges)
     # homophilous edges: with prob `homophily` connect within class
-    src = rng.integers(0, num_nodes, num_edges)
     same = rng.random(num_edges) < homophily
     dst = np.empty(num_edges, dtype=np.int64)
     # same-class partner: random node of the same label

@@ -130,9 +130,8 @@ def _slab_kernel(
 
 def _ssel_kernel(
     win_ref, slab_ref,  # scalar prefetch: [n_steps] window / slab ids
-    sub_ref, ssrc_ref, sdst_ref, prev_ref, x_any, out_ref,
-    slab_scratch, msgs_scratch, acc_scratch, dma_sem,
-    *, Q, C, B, W, R, H, compute_dtype,
+    sub_ref, ssrc_ref, sdst_ref, prev_ref, x_any, *rest,
+    Q, C, B, W, R, H, HUB, compute_dtype,
 ):
     """Streamed-selector variant: the src/dst one-hot selectors arrive
     prebuilt from HBM (``SlabPlanSide.sel_src``/``sel_dst``), so the VPU
@@ -141,7 +140,14 @@ def _ssel_kernel(
     Accumulation lives in a persistent f32 VMEM scratch; the output block
     (prev + acc, in the — possibly bf16 — output dtype) is written ONCE on
     the window's last step, halving the bf16 path's out/prev RMW HBM
-    traffic."""
+    traffic.  With ``HUB`` > 0 a [HUB, F] hub block (the pre-gathered
+    top remote sources, power-law mode) is DMA'd ONCE at step 0 into the
+    scratch tail; hub chunks address sub-blocks >= R//B."""
+    if HUB:
+        (hub_any, out_ref, slab_scratch, msgs_scratch, acc_scratch,
+         dma_sem, hub_sem) = rest
+    else:
+        out_ref, slab_scratch, msgs_scratch, acc_scratch, dma_sem = rest
     i = pl.program_id(0)
     prev_w = win_ref[jnp.maximum(i - 1, 0)]
     is_first = jnp.logical_or(i == 0, win_ref[i] != prev_w)
@@ -151,11 +157,20 @@ def _ssel_kernel(
     prev_s = slab_ref[jnp.maximum(i - 1, 0)]
     new_slab = jnp.logical_or(i == 0, slab_ref[i] != prev_s)
 
+    if HUB:
+        @pl.when(i == 0)
+        def _():
+            dma = pltpu.make_async_copy(
+                hub_any, slab_scratch.at[pl.ds(R, HUB), :], hub_sem
+            )
+            dma.start()
+            dma.wait()
+
     @pl.when(new_slab)
     def _():
         dma = pltpu.make_async_copy(
             x_any.at[pl.ds(pl.multiple_of(slab_ref[i] * H, H), R), :],
-            slab_scratch,
+            slab_scratch.at[pl.ds(0, R), :],
             dma_sem,
         )
         dma.start()
@@ -203,41 +218,50 @@ def _ssel_kernel(
 
 
 def _apply_local_ssel(x_pad, prev, side: SlabPlanSide, compute_dtype,
-                      interpret):
+                      interpret, hub_x=None):
     W, B, C, Q = (
         side.window_rows, side.block_rows, side.chunk_edges,
         side.chunks_per_step,
     )
     F = x_pad.shape[1]
     R, H = side.slab_rows, side.base_rows
+    HUB = side.hub_rows if hub_x is not None else 0
     if compute_dtype == jnp.float32 and side.sel_src.dtype != jnp.float32:
         raise ValueError(
             "f32 slab_spmm on a bf16 selector stream would silently round "
             "edge weights: build the plan with stream_sel='f32'"
         )
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, Q), lambda i, win, slab: (i, 0, 0),
+            memory_space=pltpu.SMEM,
+        ),
+        pl.BlockSpec((1, Q * C, B), lambda i, win, slab: (i, 0, 0)),
+        pl.BlockSpec((1, W, Q * C), lambda i, win, slab: (i, 0, 0)),
+        pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+    ]
+    operands = [side.window_id, side.slab_id, side.subblock, side.sel_src,
+                side.sel_dst, prev, x_pad]
+    scratch_shapes = [
+        pltpu.VMEM((R + HUB, F), x_pad.dtype),
+        pltpu.VMEM((Q * C, F), compute_dtype),
+        pltpu.VMEM((W, F), jnp.float32),
+        pltpu.SemaphoreType.DMA(()),
+    ]
+    if HUB:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # hub block
+        operands.append(hub_x)
+        scratch_shapes.append(pltpu.SemaphoreType.DMA(()))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # window_id, slab_id
         grid=(side.n_steps,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, Q), lambda i, win, slab: (i, 0, 0),
-                memory_space=pltpu.SMEM,
-            ),
-            pl.BlockSpec((1, Q * C, B), lambda i, win, slab: (i, 0, 0)),
-            pl.BlockSpec((1, W, Q * C), lambda i, win, slab: (i, 0, 0)),
-            pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
-            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((W, F), lambda i, win, slab: (win[i], 0)),
-        scratch_shapes=[
-            pltpu.VMEM((R, F), x_pad.dtype),
-            pltpu.VMEM((Q * C, F), compute_dtype),
-            pltpu.VMEM((W, F), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        scratch_shapes=scratch_shapes,
     )
     kernel = partial(
-        _ssel_kernel, Q=Q, C=C, B=B, W=W, R=R, H=H,
+        _ssel_kernel, Q=Q, C=C, B=B, W=W, R=R, H=H, HUB=HUB,
         compute_dtype=compute_dtype,
     )
     return pl.pallas_call(
@@ -259,16 +283,16 @@ def _apply_local_ssel(x_pad, prev, side: SlabPlanSide, compute_dtype,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(side.window_id, side.slab_id, side.subblock, side.sel_src,
-      side.sel_dst, prev, x_pad)
+    )(*operands)
 
 
-def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
+def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret,
+                 hub_x=None):
     """Local (intra-slab) edges accumulated ON TOP of ``prev`` (the
     remote partial, or zeros): [num_rows_out, F] f32."""
     if side.meta is None:
         return _apply_local_ssel(x_pad, prev, side, compute_dtype,
-                                 interpret)
+                                 interpret, hub_x=hub_x)
     W, B, C, Q = (
         side.window_rows, side.block_rows, side.chunk_edges,
         side.chunks_per_step,
@@ -316,7 +340,7 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret):
 
 def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
                 interpret):
-    slab_mb = (side.slab_rows * x.shape[1]
+    slab_mb = ((side.slab_rows + side.hub_rows) * x.shape[1]
                * jnp.dtype(compute_dtype).itemsize) / 2**20
     if slab_mb > 13.0:
         raise ValueError(
@@ -349,7 +373,19 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
             prev = jnp.pad(prev, ((0, rows_out - prev.shape[0]), (0, 0)))
     else:
         prev = jnp.zeros((rows_out, x.shape[1]), compute_dtype)
-    out = _apply_local(xs, prev, side, compute_dtype, interpret)[:n_pad]
+    hub_x = None
+    if side.hub_ids is not None:
+        # the hub block: ONE gather of hub_rows source rows per pass
+        # (hub_rows descriptors instead of one per hub edge)
+        hub_x = jnp.take(xs, side.hub_ids, axis=0)
+    out = _apply_local(xs, prev, side, compute_dtype, interpret,
+                       hub_x=hub_x)[:n_pad]
+    out = out.astype(jnp.float32)
+    if plan.pre_scale is not None:
+        # sep mode: the rs[dst] factor is constant per output row, so it is
+        # applied HERE (f32, fuses with the self-loop add) instead of being
+        # carried by sel_dst — which therefore streams as 0/1 int8
+        out = out * plan.pre_scale[:, None]
     out = out + plan.w_self[:, None] * xc.astype(jnp.float32)
     return out[: plan.num_nodes].astype(x.dtype)
 

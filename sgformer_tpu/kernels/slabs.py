@@ -131,11 +131,11 @@ def cluster_pack_perm(clusters: np.ndarray, slab_rows: int) -> np.ndarray:
     jax.tree_util.register_dataclass,
     data_fields=[
         "window_id", "slab_id", "subblock", "meta", "sel_src", "sel_dst",
-        "remote",
+        "remote", "hub_ids",
     ],
     meta_fields=[
         "window_rows", "block_rows", "chunk_edges", "chunks_per_step",
-        "slab_rows", "base_rows", "n_steps", "num_rows_out",
+        "slab_rows", "base_rows", "n_steps", "num_rows_out", "hub_rows",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -165,10 +165,13 @@ class SlabPlanSide:
     # one packed stream so the kernel pipelines ONE metadata DMA per step
     meta: Optional[jax.Array]
     # stream_sel mode: [n_steps, Q·C, B] weighted src one-hot (weights
-    # folded) and [n_steps, W, Q·C] 0/1 dst one-hot, in the stream dtype
+    # folded; stream dtype) and [n_steps, W, Q·C] 0/1 dst one-hot (int8)
     sel_src: Optional[jax.Array]
     sel_dst: Optional[jax.Array]
     remote: Optional[ChunkPlan]
+    # [hub_rows] i32 node ids pinned in the VMEM scratch tail (power-law
+    # mode; None = no hub tail).  Gathered once per pass, DMA'd at step 0.
+    hub_ids: Optional[jax.Array]
     window_rows: int
     block_rows: int
     chunk_edges: int
@@ -177,6 +180,7 @@ class SlabPlanSide:
     base_rows: int  # base granularity H (R//H sliding positions)
     n_steps: int
     num_rows_out: int
+    hub_rows: int = 0
 
 
 @partial(
@@ -192,9 +196,12 @@ class SlabSpMM:
     ``pre_scale`` (int8-selector mode): [n_pad] f32 ``rs`` with
     ``weight[e] == rs[src]*rs[dst]`` for every non-self edge (symmetric
     GCN normalization).  The kernel input is pre-scaled ``rs ⊙ x``, the
-    src selectors are 0/1 **int8** (half the stream bytes of weighted
-    bf16), and the dst selectors carry ``rs[dst]``.  None = weighted
-    selectors (general edge weights)."""
+    aggregated output rows are post-scaled by ``rs[dst]`` (constant per
+    row, applied in f32 outside the kernel where it fuses with the
+    self-loop add), and BOTH selector streams are 0/1 **int8** — half
+    the stream bytes of weighted bf16 on each side.  None = weighted
+    src selectors (general edge weights; the dst stream is 0/1 int8
+    in every ssel mode)."""
 
     fwd: SlabPlanSide
     bwd: SlabPlanSide
@@ -207,7 +214,7 @@ class SlabSpMM:
 def _build_side(
     src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair,
     remote_window_rows=1024, remote_chunk_edges=1024, stream_sel=None,
-    sep_rs=None,
+    sep_rs=None, hub_rows=0,
 ) -> SlabPlanSide:
     """Edges must be relabeled to the packed order and EXCLUDE self-loops.
 
@@ -242,22 +249,66 @@ def _build_side(
 
     ebase = base[win]
     local = (src // H >= ebase) & (src // H < ebase + span)
-    # drop tiny (window, sub-block) groups to keep chunk fill high
+
+    # ---- hub rows: power-law graphs concentrate the CROSS-cluster edges
+    # on high-degree sources; the top ``hub_rows`` out-of-range sources by
+    # remote-edge count live in a PERMANENT tail of the kernel's VMEM
+    # scratch (gathered once per pass — hub_rows descriptors, not one per
+    # edge), turning their edges into local one-hot MXU work.  Hub chunks
+    # address sub-blocks ``R//B + k``; the kernel copies the gathered
+    # [hub_rows, F] block in at grid step 0. ----
+    hub_ids = None
+    hub_pos_of = None
+    if hub_rows > 0:
+        assert hub_rows % B == 0, "hub_rows must be a multiple of block_rows"
+        cand = src[~local]
+        if len(cand):
+            ids, cnt = np.unique(cand, return_counts=True)
+            # descending remote-degree order: the densest hubs pack into
+            # the first sub-blocks, so (window, hub-sub) chunk fill stays
+            # high where most hub edges land
+            top = ids[np.argsort(cnt)[::-1][:hub_rows]]
+            hub_ids = np.full(hub_rows, n_pad - 1, dtype=np.int64)
+            hub_ids[: len(top)] = top
+            hub_pos_of = np.full(n_pad, -1, dtype=np.int64)
+            hub_pos_of[top] = np.arange(len(top))
+            is_hub = ~local & (hub_pos_of[src] >= 0)
+        else:
+            hub_ids = np.full(hub_rows, n_pad - 1, dtype=np.int64)
+            hub_pos_of = np.full(n_pad, -1, dtype=np.int64)
+            is_hub = np.zeros(len(src), dtype=bool)
+    else:
+        is_hub = np.zeros(len(src), dtype=bool)
+    local_any = local | is_hub
+
+    # per-edge sub-block + row-within-block (hub edges index the tail)
+    sub_all = (src - ebase * H) // B
+    rel_all = (src - ebase * H) % B
+    if hub_rows > 0:
+        hpos = np.where(is_hub, hub_pos_of[src], 0)
+        sub_all = np.where(is_hub, R // B + hpos // B, sub_all)
+        rel_all = np.where(is_hub, hpos % B, rel_all)
+
+    # drop tiny (window, sub-block) groups to keep chunk fill high —
+    # EXCEPT hub groups: the hub tail is permanently resident (no per-group
+    # DMA cost), and even a 2-edge hub chunk beats two 9.7 ns/edge remote
+    # gathers on slot+dot cost
     if min_pair > 1:
-        lsub_all = (src - ebase * H) // B
-        key = win * (R // B + 1) + np.where(local, lsub_all, 0)
-        uniq, inv, cnt = np.unique(key[local], return_inverse=True,
+        key = win * (R // B + hub_rows // B + 1) + np.where(
+            local_any, sub_all, 0
+        )
+        uniq, inv, cnt = np.unique(key[local_any], return_inverse=True,
                                    return_counts=True)
         small = np.zeros(len(src), dtype=bool)
-        small[local] = cnt[inv] < min_pair
-        local = local & ~small
-    ls, ld, lw = src[local], dst[local], weight[local]
-    rs, rd, rw = src[~local], dst[~local], weight[~local]
+        small[local_any] = cnt[inv] < min_pair
+        local_any = local_any & ~(small & ~is_hub)
+    ls, ld, lw = src[local_any], dst[local_any], weight[local_any]
+    rs, rd, rw = src[~local_any], dst[~local_any], weight[~local_any]
 
     # ---- local: sort by (window, sub-block, src) and cut chunks ----
     lwin = ld // W
-    lsub = (ls - base[lwin] * H) // B
-    ls_rel = (ls - base[lwin] * H) % B
+    lsub = sub_all[local_any]
+    ls_rel = rel_all[local_any]
     order = np.lexsort((ls, lsub, lwin))
     ls, ld, lw, lwin, lsub, ls_rel = (
         ls[order], ld[order], lw[order], lwin[order], lsub[order],
@@ -323,8 +374,13 @@ def _build_side(
     if stream_sel is not None:
         sdt = np.dtype(_np_stream_dtype(stream_sel))
         src_dt = np.dtype(np.int8) if sep_rs is not None else sdt
+        # the dst selector is ALWAYS 0/1 (weights live in sel_src, or — sep
+        # mode — rs[dst] is hoisted to an XLA post-scale of the output rows,
+        # see SlabSpMM.pre_scale): stream it as int8 in every mode.  0/1
+        # entries convert exactly, so the f32 path stays bit-exact.
+        dst_dt = np.dtype(np.int8)
         sel_bytes = n_steps * Q * C * (
-            B * src_dt.itemsize + W * sdt.itemsize
+            B * src_dt.itemsize + W * dst_dt.itemsize
         )
         if sel_bytes > 8 * 2**30:
             raise ValueError(
@@ -333,7 +389,7 @@ def _build_side(
                 f"geometry) at this scale"
             )
         sel_src_a = np.zeros((n_steps, Q * C, B), dtype=src_dt)
-        sel_dst_a = np.zeros((n_steps, W, Q * C), dtype=sdt)
+        sel_dst_a = np.zeros((n_steps, W, Q * C), dtype=dst_dt)
     else:
         lsrc_a = np.zeros((n_steps, Q, C), dtype=np.int32)
         ldst_a = np.zeros((n_steps, Q, C), dtype=np.int32)
@@ -354,14 +410,12 @@ def _build_side(
             e_slot = e_q * C + slot_in_chunk
             if sep_rs is not None:
                 # separable weights: 0/1 int8 src selector (x arrives
-                # pre-scaled by rs[src]); the dst selector carries rs[dst]
+                # pre-scaled by rs[src]); rs[dst] — constant per output
+                # row — is hoisted out of the kernel to a post-scale
                 sel_src_a[e_step, e_slot, ls_rel] = 1
-                sel_dst_a[e_step, ld % W, e_slot] = sep_rs[ld].astype(
-                    np.float32
-                )
             else:
                 sel_src_a[e_step, e_slot, ls_rel] = lw.astype(np.float32)
-                sel_dst_a[e_step, ld % W, e_slot] = 1.0
+            sel_dst_a[e_step, ld % W, e_slot] = 1
         else:
             lsrc_a[e_step, e_q, slot_in_chunk] = ls_rel.astype(np.int32)
             ldst_a[e_step, e_q, slot_in_chunk] = (ld % W).astype(np.int32)
@@ -375,9 +429,9 @@ def _build_side(
     remote = None
     if len(rs):
         order = np.argsort(rd, kind="stable")
-        # sep mode: x arrives pre-scaled by rs[src], so the remote plan
-        # carries only the rs[dst] factor
-        rw_eff = sep_rs[rd] if sep_rs is not None else rw
+        # sep mode: x arrives pre-scaled by rs[src] and the output rows get
+        # post-scaled by rs[dst], so the remote plan carries unit weights
+        rw_eff = np.ones_like(rw) if sep_rs is not None else rw
         remote = _build_plan(
             rs[order], rd[order], rw_eff[order], n_pad,
             chunk_edges=remote_chunk_edges, window_rows=remote_window_rows,
@@ -402,6 +456,9 @@ def _build_side(
         sel_src=sel_src,
         sel_dst=sel_dst,
         remote=remote,
+        hub_ids=(None if hub_ids is None
+                 else jnp.asarray(hub_ids.astype(np.int32))),
+        hub_rows=hub_rows,
         window_rows=W,
         block_rows=B,
         chunk_edges=C,
@@ -454,6 +511,7 @@ def build_slabs(
     stream_sel: Optional[str] = None,
     symmetric: Optional[bool] = None,
     sep_rs: Optional[np.ndarray] = None,
+    hub_rows: int = 0,
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
     into the packed (clustered) node order — see
@@ -496,11 +554,15 @@ def build_slabs(
         else:
             sep_rs = None
 
+    if hub_rows > 0:
+        if stream_sel is None:
+            raise ValueError("hub_rows requires stream_sel (ssel) mode")
+        hub_rows = -(-hub_rows // block_rows) * block_rows
     kw = dict(W=window_rows, B=block_rows, C=chunk_edges, Q=chunks_per_step,
               R=R, H=H, min_pair=min_pair,
               remote_window_rows=remote_window_rows,
               remote_chunk_edges=remote_chunk_edges, stream_sel=stream_sel,
-              sep_rs=sep_rs)
+              sep_rs=sep_rs, hub_rows=hub_rows)
     fwd = _build_side(src, dst, weight, n_pad, **kw)
     if symmetric is None:
         symmetric = _is_symmetric(src, dst, weight, num_nodes)

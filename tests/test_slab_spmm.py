@@ -387,7 +387,8 @@ def sep_problem(problem):
 def test_sep_plan_is_int8_with_pre_scale(sep_problem):
     s2, d2, w2, n, plan, x = sep_problem
     assert plan.fwd.sel_src.dtype == jnp.int8
-    assert plan.fwd.sel_dst.dtype == jnp.bfloat16
+    # rs[dst] is hoisted to the post-scale, so the dst stream is 0/1 int8
+    assert plan.fwd.sel_dst.dtype == jnp.int8
     assert plan.pre_scale is not None and plan.pre_scale.shape[0] == plan.n_pad
 
 
@@ -434,3 +435,102 @@ def test_sep_falls_back_on_f32_stream(problem):
     rs = (1.0 / np.sqrt(deg)).astype(np.float32)
     plan = build_slabs(s2, d2, w2, n, stream_sel="f32", sep_rs=rs, **PARAMS)
     assert plan.pre_scale is None and plan.fwd.sel_src.dtype == jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Hub-resident scratch tail (power-law mode, ssel only)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def hub_problem():
+    """Power-law endpoints so cross-cluster edges concentrate on hubs."""
+    rng = np.random.default_rng(11)
+    n, e, k = 600, 4000, 6
+    lab = rng.integers(0, k, n)
+    pop = (np.arange(1, n + 1, dtype=np.float64) + 5.0) ** -1.2
+    pop = rng.permutation(pop / pop.sum())
+    src = rng.choice(n, size=e, p=pop)
+    same = rng.random(e) < 0.7
+    partners = [np.nonzero(lab == c)[0] for c in range(k)]
+    dst_same = np.array([rng.choice(partners[lab[s]]) for s in src])
+    dst = np.where(same, dst_same, rng.choice(n, size=e, p=pop))
+    both = np.concatenate([np.stack([src, dst]), np.stack([dst, src])],
+                          axis=1)
+    loop = np.arange(n)
+    ei = np.concatenate([both, np.stack([loop, loop])], axis=1)
+    key = ei[1] * n + ei[0]
+    _, keep = np.unique(key, return_index=True)
+    ei = ei[:, keep]
+    perm, inv = reorder_for_slabs(ei, n, slab_rows=256, iters=30)
+    s2, d2 = inv[ei[0]], inv[ei[1]]
+    order = np.argsort(d2, kind="stable")
+    s2, d2 = s2[order], d2[order]
+    deg = np.bincount(d2, minlength=n).astype(np.float64)
+    w2 = (1 / np.sqrt(deg[d2] * deg[s2])).astype(np.float32)
+    plan = build_slabs(s2, d2, w2, n, stream_sel="f32", hub_rows=64,
+                       min_pair=2, **PARAMS)
+    x = np.random.default_rng(3).standard_normal((n, 32)).astype(np.float32)
+    return s2, d2, w2, n, plan, x
+
+
+def test_hub_plan_pins_hub_chunks(hub_problem):
+    s2, d2, w2, n, plan, x = hub_problem
+    side = plan.fwd
+    assert side.hub_rows == 64 and side.hub_ids is not None
+    assert side.hub_ids.shape == (64,)
+    # chunks addressing the scratch tail actually exist
+    hub_sub_base = PARAMS["slab_rows"] // PARAMS["block_rows"]
+    assert int(jnp.max(side.subblock)) >= hub_sub_base
+
+
+def test_hub_requires_ssel():
+    rng = np.random.default_rng(0)
+    s = rng.integers(0, 100, 500)
+    d = rng.integers(0, 100, 500)
+    w = np.ones(500, dtype=np.float32)
+    with pytest.raises(ValueError, match="hub_rows"):
+        build_slabs(s, d, w, 100, hub_rows=64, **PARAMS)
+
+
+def test_hub_fwd_exact_f32(hub_problem):
+    s2, d2, w2, n, plan, x = hub_problem
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_hub_grad_exact_f32(hub_problem):
+    s2, d2, w2, n, plan, x = hub_problem
+    co = np.random.default_rng(5).standard_normal((n, 32)).astype(np.float32)
+
+    def f_slab(xx):
+        return jnp.sum(slab_spmm(xx, plan, compute_dtype=jnp.float32,
+                                 interpret=True) * co)
+
+    def f_ref(xx):
+        return jnp.sum(spmm(xx, jnp.asarray(s2), jnp.asarray(d2),
+                            jnp.asarray(w2), n) * co)
+
+    g1 = np.asarray(jax.grad(f_slab)(jnp.asarray(x)))
+    g2 = np.asarray(jax.grad(f_ref)(jnp.asarray(x)))
+    np.testing.assert_allclose(g1, g2, rtol=2e-6, atol=2e-6)
+
+
+def test_hub_sep_bf16_close(hub_problem):
+    s2, d2, w2, n, _, x = hub_problem
+    deg = np.bincount(d2, minlength=n).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        rs = (1.0 / np.sqrt(deg)).astype(np.float32)
+    rs[~np.isfinite(rs)] = 0.0
+    plan = build_slabs(s2, d2, w2, n, stream_sel="bf16", sep_rs=rs,
+                       hub_rows=64, min_pair=2, **PARAMS)
+    assert plan.pre_scale is not None
+    assert plan.fwd.hub_ids is not None
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.bfloat16, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
