@@ -1,0 +1,78 @@
+"""Arxiv-scale fast-path accuracy soak: f32-exact vs production bf16-ssel.
+
+No real datasets exist in this environment (VERDICT round-1 §missing-1),
+so this is the strongest available evidence that the bf16 + slab-ssel +
+rbg-dropout fast path does not drift: train the published arxiv model
+shape (hidden 256, 1 trans + 3 gnn layers, ``large/run.sh:1-5``) on a
+HARD arxiv-shaped synthetic (homophily 0.55 — accuracy well below
+ceiling so drift would show), 3 runs each, and compare best-val-selected
+test accuracy:
+
+  A. f32 + pallas chunk plans  (bit-exact vs the numpy oracle, tested)
+  B. bf16 + ssel slab plans    (the bench.py production path)
+
+Run alone (ONE TPU process): PYTHONPATH=/root/repo:/root/.axon_site.
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from sgformer_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    assert jax.default_backend() == "tpu"
+    print(f"device: {jax.devices()[0]}", flush=True)
+
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.data.splits import class_rand_splits
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train.trainer import TrainConfig, Trainer
+
+    N, E_dir = 169_343, 1_166_243
+    # feature_scale 0.15: features alone are weakly separable, so accuracy
+    # sits well below ceiling and depends on the graph aggregation — a
+    # soak at 100% accuracy would hide any fast-path drift
+    ds = synthetic_dataset(num_nodes=N, num_edges=E_dir, num_features=128,
+                           num_classes=40, seed=0, homophily=0.55,
+                           feature_scale=0.15)
+    split = class_rand_splits(ds.label.reshape(-1), label_num_per_class=500,
+                              valid_num=25_000, test_num=50_000,
+                              rng=np.random.default_rng(42))
+
+    def run(label, spmm_mode, chunk_dtype, compute_dtype):
+        t0 = time.time()
+        graph = preprocess_graph(ds.graph["edge_index"], N,
+                                 with_chunks=True, spmm_mode=spmm_mode,
+                                 chunk_dtype=chunk_dtype)
+        cfg = SGFormerConfig.large(
+            256, 40, trans_num_layers=1, gnn_num_layers=3,
+            graph_weight=0.5, compute_dtype=compute_dtype,
+        )
+        tc = TrainConfig(lr=1e-3, trans_weight_decay=0.0,
+                         gnn_weight_decay=0.0, epochs=300, eval_step=10,
+                         runs=3, seed=123, display_step=-1)
+        trainer = Trainer(SGFormer(cfg), graph, ds.graph["node_feat"],
+                          ds.label, tc)
+        logger = trainer.fit([split])
+        sums = [logger.run_summary(r) for r in range(3)]
+        test = np.array([s["final_test"] for s in sums])
+        val = np.array([s["highest_valid"] for s in sums])
+        print(f"{label:32s} test {100*test.mean():.2f}±{100*test.std():.2f} "
+              f"val {100*val.mean():.2f} "
+              f"({time.time()-t0:.0f}s incl compile)", flush=True)
+        return test.mean()
+
+    a = run("A f32 + chunk plans (exact)", "chunks", "f32", "f32")
+    b = run("B bf16 + ssel slabs (production)", "ssel", "bf16", "bf16")
+    print(f"\nfast-path drift: {100*(b-a):+.2f}pp "
+          f"(production minus exact)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

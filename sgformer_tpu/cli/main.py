@@ -128,6 +128,9 @@ def main(argv=None):
             ds.graph["edge_index"], n, undirected=undirected,
             with_pyg_norm=needs_pyg, with_chunks=args.use_pallas,
             chunk_dtype=args.chunk_dtype, spmm_mode=args.spmm_mode,
+            slab_geometry=(
+                {"hub_rows": args.hub_rows} if args.hub_rows else None
+            ),
             chunk_interpret=jax.default_backend() not in ("tpu",),
         )
         model_kwargs = {}

@@ -98,9 +98,15 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--chunk_dtype", type=str, default="bf16",
                         choices=["bf16", "f32"])
     parser.add_argument("--spmm_mode", type=str, default="chunks",
-                        choices=["chunks", "slab"],
+                        choices=["chunks", "slab", "ssel"],
                         help="'slab': clustering reorder + gather-free "
-                             "VMEM-slab SpMM kernel (full-graph trainers)")
+                             "VMEM-slab SpMM kernel (full-graph trainers); "
+                             "'ssel': slab kernel with host-prebuilt "
+                             "streamed selectors (fastest)")
+    parser.add_argument("--hub_rows", type=int, default=0,
+                        help="pin the top-K remote sources in a permanent "
+                             "VMEM scratch tail (ssel mode; recommended "
+                             "~6144 for power-law graphs like arxiv/pokec)")
     # checkpointing (100M/parse.py flags)
     parser.add_argument("--save_model", action="store_true")
     parser.add_argument("--use_pretrained", action="store_true")

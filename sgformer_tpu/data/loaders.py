@@ -44,6 +44,7 @@ def synthetic_dataset(
     seed: int = 0,
     homophily: float = 0.8,
     powerlaw: float = 0.0,
+    feature_scale: float = 2.0,
 ) -> NCDataset:
     """Planted-partition graph with class-correlated features: a stand-in
     for Cora/arxiv-scale graphs when no data is on disk.  Homophilous edges
@@ -54,8 +55,10 @@ def synthetic_dataset(
     pokec), which concentrates cross-cluster edges on hub nodes."""
     rng = np.random.default_rng(seed)
     label = rng.integers(0, num_classes, num_nodes)
-    # class-conditional gaussian features
-    centers = rng.standard_normal((num_classes, num_features)) * 2.0
+    # class-conditional gaussian features; ``feature_scale`` sets the
+    # center separation vs unit noise (the default is feature-separable;
+    # ~0.15 makes the task graph-dependent and accuracy sub-ceiling)
+    centers = rng.standard_normal((num_classes, num_features)) * feature_scale
     feat = centers[label] + rng.standard_normal((num_nodes, num_features))
     if powerlaw > 0.0:
         # Zipf-ish popularity, shuffled so hubs are scattered over ids
