@@ -64,8 +64,8 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--alpha", type=float, default=0.5)
     parser.add_argument("--attention", type=str, default="simple",
                         choices=["simple", "softmax", "gat", "performer"])
-    parser.add_argument("--attention_impl", type=str, default="xla",
-                        choices=["xla", "pallas"])
+    parser.add_argument("--attention_impl", type=str, default="auto",
+                        choices=["auto", "xla", "pallas"])
     parser.add_argument("--compute_dtype", type=str, default="f32",
                         choices=["f32", "bf16"])
     # sgformer gnn branch (large/parse.py:104-118)

@@ -31,7 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _reduce_kernel(q_ref, k_ref, v_ref, kvs_ref, ksum_ref, scal_ref):
+def _tail_rows_valid(i, block, n_rows):
+    """[block, 1] bool: rows that are real (< n_rows) in grid step i.
+    Only the LAST block can be partial: pallas pads boundary input blocks
+    with UNSPECIFIED values (NaN in interpret mode), so padding must be
+    zeroed with a select — a 0-multiply would keep NaNs."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (block, 1), 0) + i * block
+    return rows < n_rows
+
+
+def _zero_tail(x, valid):
+    return jnp.where(valid, x, jnp.zeros_like(x))
+
+
+def _reduce_kernel(q_ref, k_ref, v_ref, kvs_ref, ksum_ref, scal_ref,
+                   *, n_rows):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -43,6 +57,10 @@ def _reduce_kernel(q_ref, k_ref, v_ref, kvs_ref, ksum_ref, scal_ref):
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
+    block = q.shape[0]
+    if n_rows % block:
+        valid = _tail_rows_valid(i, block, n_rows)
+        q, k, v = _zero_tail(q, valid), _zero_tail(k, valid), _zero_tail(v, valid)
     kvs_ref[:] += jax.lax.dot_general(
         k, v, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -76,21 +94,17 @@ def _apply_kernel(n_ref, q_ref, v_ref, kvs_ref, ksum_ref, scal_ref, out_ref):
     out_ref[:] = (num / den).astype(out_ref.dtype)
 
 
-def _pad_rows(x, block):
-    n = x.shape[0]
-    pad = (-n) % block
-    if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
-    return x
-
-
 def _reduce(q, k, v, block, interpret):
-    """Local partial sums (kvs [M,D], ksum [1,M], [qsq ksq])."""
+    """Local partial sums (kvs [M,D], ksum [1,M], [qsq ksq]).
+
+    NO host-side padding: the grid ceil-divides N and the kernel masks the
+    tail block in VMEM — the old ``jnp.pad`` path copied every [N, M]
+    operand (and the backward repeated it), which at the arxiv shape cost
+    more than the kernel's whole compute."""
     M, D = q.shape[1], v.shape[1]
-    qp, kp, vp = _pad_rows(q, block), _pad_rows(k, block), _pad_rows(v, block)
-    grid = qp.shape[0] // block
+    grid = -(-q.shape[0] // block)
     return pl.pallas_call(
-        _reduce_kernel,
+        partial(_reduce_kernel, n_rows=q.shape[0]),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((block, M), lambda i: (i, 0)),
@@ -108,16 +122,18 @@ def _reduce(q, k, v, block, interpret):
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp)
+    )(q, k, v)
 
 
 def _apply(q, v, kvs, ksum, scal, n_total, block, interpret):
+    """Out rows of a partial tail block are computed on unspecified pad
+    inputs and CLIPPED by the bounded store — no masking needed (den >= n
+    keeps the divide finite on real rows; pad rows never land)."""
     N, M = q.shape
     D = v.shape[1]
-    qp, vp = _pad_rows(q, block), _pad_rows(v, block)
-    grid = qp.shape[0] // block
+    grid = -(-N // block)
     n_arr = jnp.asarray(n_total, jnp.float32).reshape(1, 1)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         _apply_kernel,
         grid=(grid,),
         in_specs=[
@@ -129,10 +145,9 @@ def _apply(q, v, kvs, ksum, scal, n_total, block, interpret):
             pl.BlockSpec((1, 128), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((block, D), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((qp.shape[0], D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, D), q.dtype),
         interpret=interpret,
-    )(n_arr, qp, vp, kvs, ksum, scal)
-    return out[:N]
+    )(n_arr, q, v, kvs, ksum, scal)
 
 
 def _fwd_single_head(q, k, v, n_total, axis_name, block, interpret):
@@ -145,7 +160,7 @@ def _fwd_single_head(q, k, v, n_total, axis_name, block, interpret):
 
 
 def _bwd_reduce_kernel(n_ref, q_ref, v_ref, g_ref, kvs_ref, ksum_ref,
-                       scal_ref, P_ref, ds_ref, extra_ref):
+                       scal_ref, P_ref, ds_ref, extra_ref, *, n_rows):
     """Backward pass 1: accumulate the cross-node partials
     P = Σ qᵢ⊗gdᵢ, ds = Σ qᵢ·gdenᵢ, dinv = Σ gd·a + gden·b, recomputing
     den/num per block IN VMEM (no [N,*] f32 temp ever hits HBM — the old
@@ -163,6 +178,14 @@ def _bwd_reduce_kernel(n_ref, q_ref, v_ref, g_ref, kvs_ref, ksum_ref,
     q = q_ref[:]
     vf = v_ref[:].astype(jnp.float32)
     gf = g_ref[:].astype(jnp.float32)
+    if n_rows % q.shape[0]:
+        # tail block: pallas pads boundary inputs with unspecified values
+        # (NaN in interpret mode) — select-zero them so den/num/gd stay
+        # finite and the reductions are exact
+        valid = _tail_rows_valid(i, q.shape[0], n_rows)
+        q = _zero_tail(q, valid)
+        vf = _zero_tail(vf, valid)
+        gf = _zero_tail(gf, valid)
     a = jax.lax.dot_general(
         q, kvs_ref[:].astype(q.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -237,15 +260,16 @@ def _bwd_single_head(q, k, v, n_total, axis_name, res, g, block, interpret):
     kvs, ksum, scal = res
     M, D = q.shape[1], v.shape[1]
     N = q.shape[0]
-    qp, kp, vp, gp = (
-        _pad_rows(q, block), _pad_rows(k, block), _pad_rows(v, block),
-        _pad_rows(g, block),
-    )
-    grid = qp.shape[0] // block
+    # the bwd passes stream 4 node-blocked operands + 3 outputs plus
+    # several f32 VMEM temporaries per block — a quarter of the fwd block
+    # keeps the scoped VMEM under the 16 MB limit (block 2048 overflows
+    # by 0.6 MB on the bwd apply pass)
+    block = max(block // 4, 512)
+    grid = -(-N // block)
     n_arr = jnp.asarray(n_total, jnp.float32).reshape(1, 1)
     smem = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     P, ds, extra = pl.pallas_call(
-        _bwd_reduce_kernel,
+        partial(_bwd_reduce_kernel, n_rows=N),
         grid=(grid,),
         in_specs=[
             smem,
@@ -267,7 +291,7 @@ def _bwd_single_head(q, k, v, n_total, axis_name, res, g, block, interpret):
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(n_arr, qp, vp, gp, kvs, ksum, scal)
+    )(n_arr, q, v, g, kvs, ksum, scal)
     if axis_name is not None:
         P, ds, extra = jax.lax.psum((P, ds, extra), axis_name)
     dq, dk, dv = pl.pallas_call(
@@ -292,13 +316,13 @@ def _bwd_single_head(q, k, v, n_total, axis_name, res, g, block, interpret):
             pl.BlockSpec((block, D), lambda i: (i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qp.shape[0], M), q.dtype),
-            jax.ShapeDtypeStruct((qp.shape[0], M), k.dtype),
-            jax.ShapeDtypeStruct((qp.shape[0], D), v.dtype),
+            jax.ShapeDtypeStruct((N, M), q.dtype),
+            jax.ShapeDtypeStruct((N, M), k.dtype),
+            jax.ShapeDtypeStruct((N, D), v.dtype),
         ],
         interpret=interpret,
-    )(n_arr, qp, kp, vp, gp, kvs, ksum, scal, P, ds, extra)
-    return dq[:N], dk[:N], dv[:N]
+    )(n_arr, q, k, v, g, kvs, ksum, scal, P, ds, extra)
+    return dq, dk, dv
 
 
 def fused_linear_attention(
@@ -315,8 +339,11 @@ def fused_linear_attention(
     (no ``output_attn`` — use the XLA path to materialize maps).
     qs/ks/vs: [N, H, M]; returns [N, H, D]."""
     if block is None:
-        # 3 double-buffered [block, M] operands must fit VMEM (~16 MB)
-        block = 4096 if qs.dtype == jnp.bfloat16 else 2048
+        # each pass's double-buffered node-blocked operands + f32 VMEM
+        # temporaries must fit the ~16 MB scoped-VMEM limit INSIDE a full
+        # train step (block 4096 fits standalone but overflows by 0.7 MB
+        # embedded in the jitted step; 2048 costs ~0.05 ms standalone)
+        block = 2048 if qs.dtype == jnp.bfloat16 else 1024
     if node_mask is not None:
         m = node_mask.astype(qs.dtype)[:, None, None]
         qs, ks, vs = qs * m, ks * m, vs * m

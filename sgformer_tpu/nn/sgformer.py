@@ -51,8 +51,10 @@ class SGFormerConfig:
     # attention ablation: 'simple' | 'softmax' | 'gat' | 'performer'
     # (medium/ablation/parse.py:102-118)
     attention_kernel: str = "simple"
-    # 'xla' einsum path | 'pallas' fused two-pass kernel
-    attention_impl: str = "xla"
+    # 'auto' (default): the fused pallas two-pass kernel on the TPU bf16
+    # path (wins fwd+bwd at the arxiv shape), the XLA einsum path
+    # elsewhere; 'xla' | 'pallas' force one
+    attention_impl: str = "auto"
     alpha: float = 0.5
     # gnn branch
     gnn: str = "graphconv"  # 'graphconv' | 'gcn' | 'none'

@@ -36,7 +36,11 @@ class TransConvLayer(nn.Module):
     use_weight: bool = True
     axis_name: Optional[str] = None
     kernel: str = "simple"
-    impl: str = "xla"  # 'xla' | 'pallas' (fused two-pass kernel)
+    # 'xla' | 'pallas' (fused two-pass kernel) | 'auto' (pallas on the
+    # TPU bf16 path — it wins fwd+bwd at the arxiv shape, 3.19 vs 3.26 ms,
+    # scripts/microbench_attention.py; xla elsewhere: the f32 path stays
+    # the oracle-exact default and CPU runs skip Mosaic entirely)
+    impl: str = "xla"
     performer_features: Optional[int] = None
     performer_seed: int = 0
 
@@ -55,11 +59,16 @@ class TransConvLayer(nn.Module):
             vs = source_input.reshape(-1, 1, d)
 
         if self.kernel == "simple":
-            if self.impl == "pallas" and not output_attn:
+            on_tpu = jax.default_backend() == "tpu"
+            use_pallas = self.impl == "pallas" or (
+                self.impl == "auto" and on_tpu and qs.dtype == jnp.bfloat16
+            )
+            if use_pallas and not output_attn:
                 from sgformer_tpu.kernels.attention import fused_linear_attention
 
                 out = fused_linear_attention(
-                    qs, ks, vs, node_mask=node_mask, axis_name=self.axis_name
+                    qs, ks, vs, node_mask=node_mask,
+                    axis_name=self.axis_name, interpret=not on_tpu,
                 )
                 return out.mean(axis=1)
             if output_attn:
@@ -120,7 +129,7 @@ class TransConv(nn.Module):
     residual_mode: str = "alpha"
     axis_name: Optional[str] = None
     kernel: str = "simple"
-    impl: str = "xla"
+    impl: str = "xla"  # see TransConvLayer.impl
     # rematerialize each attention layer in backward (trade FLOPs for
     # activation memory on big graphs)
     remat: bool = False
