@@ -25,9 +25,13 @@ K = 10
 GEOMS = [
     ("ssel C16 Q128 R24K remW512 (shipped)", 128, 128, 16, 128, 24576, 8,
      "bf16", 512, 512),
-    ("ssel C24 Q84 R24K remW512", 128, 128, 24, 84, 24576, 8, "bf16",
-     512, 512),
-    ("ssel C32 Q64 R24K remW512", 128, 128, 32, 64, 24576, 8, "bf16",
+    # round-2c: the (window, sub) group-size distribution is tight around
+    # 41 edges (scripts/analyze_groups.py) so C=48 fits ~most groups in ONE
+    # chunk: dots 134K -> 53K at fill 0.71.  This run decides between the
+    # flat-11ns-per-dot model (predicts ~2.8 ms, a win) and the
+    # sublane-tile model ceil(C/16)*11ns (predicts ~4.3 ms, a loss) —
+    # the C24 wash hints at the latter.
+    ("ssel C48 Q42 R24K remW512", 128, 128, 48, 42, 24576, 8, "bf16",
      512, 512),
 ]
 

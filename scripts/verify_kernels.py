@@ -190,6 +190,26 @@ def main():
     )(x, ev)
     check("chunked_spmm_edge_values fwd f32", got, want, 1e-5)
 
+    # full GAT-path grads compiled on chip (dx via the transpose-plan
+    # kernel, dv via the fused two-gather XLA formulation — the MXU
+    # chunk-SDDMM alternative measured SLOWER end-to-end and was not
+    # shipped, scripts/microbench_gat_bwd.py)
+    g_want, v_want = jax.jit(jax.grad(
+        lambda xx, vv: jnp.sum(spmm(xx, gp.edge_src, gp.edge_dst, vv, N) * co),
+        argnums=(0, 1),
+    ))(x, ev)
+    g_got, v_got = jax.jit(jax.grad(
+        lambda xx, vv: jnp.sum(
+            chunked_spmm_edge_values(
+                xx, gp.chunks, vv, gp.edge_src, gp.edge_dst,
+                compute_dtype=jnp.float32,
+            ) * co
+        ),
+        argnums=(0, 1),
+    ))(x, ev)
+    check("chunked_spmm_edge_values dx f32", g_got, g_want, 1e-5)
+    check("chunked_spmm_edge_values dv f32", v_got, v_want, 1e-5)
+
     # ---- fused linear attention ----
     q = jnp.asarray(rng.standard_normal((N, 1, 64)), dtype=jnp.float32)
     want = jax.jit(lambda qq: linear_attention(qq, qq, qq))(q)
