@@ -149,6 +149,26 @@ def test_sgformer_aggregate_cat(small_graph):
     assert out.shape == (x.shape[0], 5)
 
 
+def test_sgformer_attention_impl_pallas_and_auto(small_graph):
+    """attention_impl='pallas' (fused two-pass kernel, interpret mode off
+    TPU) matches 'xla' forward-exactly at f32; 'auto' — the round-2c
+    default — resolves to the XLA path off the TPU bf16 combination, so
+    it is bit-identical to 'xla' here."""
+    g, x = small_graph
+    outs = {}
+    for impl in ("xla", "pallas", "auto"):
+        cfg = SGFormerConfig.large(16, 5, attention_impl=impl)
+        model = SGFormer(cfg)
+        variables = model.init(jax.random.PRNGKey(3), jnp.asarray(x), g,
+                               train=False)
+        outs[impl] = np.asarray(
+            model.apply(variables, jnp.asarray(x), g, train=False)
+        )
+    np.testing.assert_allclose(outs["pallas"], outs["xla"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(outs["auto"], outs["xla"])
+
+
 def test_sgformer_attention_maps(small_graph):
     g, x = small_graph
     cfg = SGFormerConfig.medium(16, 5, trans_num_layers=2)
