@@ -35,21 +35,71 @@ import numpy as np
 STREAM_MAX_CHUNKS = 8192
 
 
-def compute_stream_cuts(window_id: np.ndarray, max_chunks: int) -> tuple:
-    """Host-side window-aligned segment boundaries: ((start, end, w_lo,
-    w_hi), ...) covering [0, len(window_id))."""
+def compute_stream_segments(window_id: np.ndarray, max_chunks: int):
+    """Host-side UNIFORM window-span segmentation for lax.scan streaming.
+
+    Every segment covers exactly ``V`` consecutive windows (the last may
+    run past the real window count — those rows are sliced off by the
+    caller), so the per-segment output shape is the static ``[V*W, F]``
+    and the whole streamed apply is ONE traced pallas_call inside a scan —
+    compile time is independent of segment count (the concatenate-of-
+    per-segment-calls form compiled one pallas_call per segment, which
+    made 1M-node full-graph compiles impractical).
+
+    Returns ``(nseg, V, S_max, bounds)`` with ``bounds`` the per-segment
+    (start, end) chunk ranges; segments are padded to ``S_max`` chunks by
+    the restacker.  ``S_max`` can exceed ``max_chunks`` only when a single
+    window alone does (V == 1 floor)."""
     wid = np.asarray(window_id)
     nc = len(wid)
-    cuts = []
-    start = 0
-    while start < nc:
-        end = min(start + max_chunks, nc)
-        if end < nc:
-            while end > start + 1 and wid[end] == wid[end - 1]:
-                end -= 1
-        cuts.append((int(start), int(end), int(wid[start]), int(wid[end - 1])))
-        start = end
-    return tuple(cuts)
+    n_windows = int(wid[-1]) + 1
+    cum = np.zeros(n_windows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(wid, minlength=n_windows), out=cum[1:])
+    nseg = max(1, -(-nc // max_chunks))
+    while True:
+        V = -(-n_windows // nseg)
+        nseg = -(-n_windows // V)  # drop segments made empty by ceil-div
+        lo = np.minimum(np.arange(nseg) * V, n_windows)
+        hi = np.minimum((np.arange(nseg) + 1) * V, n_windows)
+        starts, ends = cum[lo], cum[hi]
+        s_max = int((ends - starts).max())
+        if s_max <= max_chunks or V == 1:
+            return nseg, V, s_max, list(zip(starts.tolist(), ends.tolist()))
+        nseg += max(1, nseg // 8)
+
+
+def _restack_streamed(plan: "ChunkPlan", max_chunks: int) -> "ChunkPlan":
+    """Re-pack a flat [nc, C] plan into the stacked [nseg, S_max, C]
+    layout consumed by the scan-streamed apply.  Padding chunks carry
+    gather 0 / weight 0 and repeat the segment's last window id (they
+    accumulate exact zeros and keep the kernel's is_first/is_last window
+    detection intact)."""
+    wid = np.asarray(plan.window_id)
+    g, ld, wt = (
+        np.asarray(plan.gather_idx),
+        np.asarray(plan.local_dst),
+        np.asarray(plan.weight),
+    )
+    nseg, V, s_max, bounds = compute_stream_segments(wid, max_chunks)
+    C = plan.chunk_edges
+    G = np.zeros((nseg, s_max, C), np.int32)
+    L = np.zeros((nseg, s_max, C), np.int32)
+    Wt = np.zeros((nseg, s_max, C), np.float32)
+    Wd = np.zeros((nseg, s_max), np.int32)
+    for s, (a, b) in enumerate(bounds):
+        k = b - a
+        G[s, :k], L[s, :k], Wt[s, :k] = g[a:b], ld[a:b], wt[a:b]
+        Wd[s, :k] = wid[a:b] - s * V
+        if k < s_max:
+            Wd[s, k:] = Wd[s, k - 1]
+    return dataclasses.replace(
+        plan,
+        gather_idx=jnp.asarray(G),
+        local_dst=jnp.asarray(L),
+        weight=jnp.asarray(Wt),
+        window_id=jnp.asarray(Wd),
+        stream_shape=(nseg, s_max, V),
+    )
 
 
 @partial(
@@ -57,7 +107,7 @@ def compute_stream_cuts(window_id: np.ndarray, max_chunks: int) -> tuple:
     data_fields=["gather_idx", "local_dst", "weight", "window_id", "edge_perm"],
     meta_fields=[
         "chunk_edges", "window_rows", "num_rows_out", "num_chunks",
-        "stream_cuts",
+        "stream_shape",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -79,9 +129,11 @@ class ChunkPlan:
     window_rows: int
     num_rows_out: int
     num_chunks: int
-    # host-precomputed window-aligned segment boundaries for streaming
-    # (None = single pallas_call)
-    stream_cuts: Optional[tuple] = None
+    # (nseg, S_max, V) when the plan is restacked for scan streaming: the
+    # data fields then carry a leading segment axis ([nseg, S_max, C] /
+    # [nseg, S_max]) and windows are segment-relative.  None = flat plan,
+    # single pallas_call.
+    stream_shape: Optional[tuple] = None
     # [n_chunks, C] ORIGINAL edge index of each slot (-1 padding): lets
     # runtime per-edge values (GAT attention weights) be scattered into
     # the kernel's slot layout (chunked_spmm_edge_values)
@@ -143,6 +195,7 @@ def _build_plan(
     window_rows: int,
     input_ids: Optional[np.ndarray] = None,
     with_perm: bool = False,
+    allow_stream: bool = True,
 ) -> ChunkPlan:
     """Edges MUST be sorted by dst.  ``input_ids`` maps this call's input
     edge positions back to the caller's original ids (for transpose plans
@@ -179,7 +232,7 @@ def _build_plan(
             if with_perm
             else None
         )
-        return ChunkPlan(
+        out = ChunkPlan(
             gather_idx=jnp.asarray(g),
             local_dst=jnp.asarray(ld),
             weight=jnp.asarray(wt),
@@ -188,13 +241,13 @@ def _build_plan(
             window_rows=W,
             num_rows_out=n_windows * W,
             num_chunks=len(wid),
-            stream_cuts=(
-                compute_stream_cuts(wid, STREAM_MAX_CHUNKS)
-                if len(wid) > STREAM_MAX_CHUNKS
-                else None
-            ),
             edge_perm=perm,
         )
+        # perm plans feed chunked_spmm_edge_values, which maps per-edge
+        # values into the FLAT slot layout — never restacked
+        if len(wid) > STREAM_MAX_CHUNKS and not with_perm and allow_stream:
+            out = _restack_streamed(out, STREAM_MAX_CHUNKS)
+        return out
 
     g_idx, l_dst, wts, wids = [], [], [], []
     for w in range(n_windows):
@@ -216,7 +269,7 @@ def _build_plan(
             wts.append(wt)
             wids.append(w)
 
-    return ChunkPlan(
+    out = ChunkPlan(
         gather_idx=jnp.asarray(np.stack(g_idx)),
         local_dst=jnp.asarray(np.stack(l_dst)),
         weight=jnp.asarray(np.stack(wts)),
@@ -225,11 +278,6 @@ def _build_plan(
         window_rows=W,
         num_rows_out=n_windows * W,
         num_chunks=len(wids),
-        stream_cuts=(
-            compute_stream_cuts(np.asarray(wids), STREAM_MAX_CHUNKS)
-            if len(wids) > STREAM_MAX_CHUNKS
-            else None
-        ),
         edge_perm=(
             jnp.asarray(
                 _slot_edge_perm(indptr, ids, n_windows, C, W, len(wids)),
@@ -239,11 +287,15 @@ def _build_plan(
             else None
         ),
     )
+    if len(wids) > STREAM_MAX_CHUNKS and not with_perm and allow_stream:
+        out = _restack_streamed(out, STREAM_MAX_CHUNKS)
+    return out
 
 
 def _pad_plan(plan: ChunkPlan, nc_max: int) -> ChunkPlan:
     """Pad a plan to ``nc_max`` chunks (padding chunks target the last
     window with weight 0) so dynamically-built plans share one shape."""
+    assert plan.stream_shape is None, "cannot pad a restacked streamed plan"
     pad = nc_max - plan.num_chunks
     if pad < 0:
         raise ValueError(f"nc_max {nc_max} < chunks {plan.num_chunks}")
@@ -299,9 +351,13 @@ def build_chunks_fixed(
         edge_cap if edge_cap is not None else len(src),
         num_nodes, chunk_edges, window_rows,
     )
+    # fixed plans are padded/concatenated to one shared shape, which the
+    # stacked stream layout would break — always flat (batch buckets stay
+    # within one pallas_call's message-buffer budget)
     sp = build_chunks(
         src, dst, weight, num_nodes,
         chunk_edges=chunk_edges, window_rows=window_rows,
+        allow_stream=False,
     )
     return dataclasses.replace(
         sp, fwd=_pad_plan(sp.fwd, nc), bwd=_pad_plan(sp.bwd, nc)
@@ -317,6 +373,7 @@ def build_chunks(
     chunk_edges: int = 1024,
     window_rows: int = 128,
     with_perm: bool = False,
+    allow_stream: bool = True,
 ) -> ChunkedSpMM:
     """Build forward + transpose chunk plans from a dst-sorted COO list.
     ``with_perm`` additionally records each slot's original edge id so
@@ -327,11 +384,12 @@ def build_chunks(
     weight = np.asarray(weight)
     fwd = _build_plan(
         src, dst, weight, num_nodes, chunk_edges, window_rows,
-        with_perm=with_perm,
+        with_perm=with_perm, allow_stream=allow_stream,
     )
     order = np.argsort(src, kind="stable")
     bwd = _build_plan(
         dst[order], src[order], weight[order], num_nodes, chunk_edges,
         window_rows, input_ids=order, with_perm=with_perm,
+        allow_stream=allow_stream,
     )
     return ChunkedSpMM(fwd=fwd, bwd=bwd, num_nodes=num_nodes)

@@ -377,7 +377,7 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
     if side.hub_ids is not None:
         # the hub block: ONE gather of hub_rows source rows per pass
         # (hub_rows descriptors instead of one per hub edge)
-        hub_x = jnp.take(xs, side.hub_ids, axis=0)
+        hub_x = xs.at[side.hub_ids].get(mode="promise_in_bounds")
     out = _apply_local(xs, prev, side, compute_dtype, interpret,
                        hub_x=hub_x)[:n_pad]
     out = out.astype(jnp.float32)

@@ -82,7 +82,7 @@ def _spmm_kernel(wid_ref, dst_ref, w_ref, msgs_ref, out_ref, acc_ref):
 
 def _apply_plan(x, plan: ChunkPlan, compute_dtype, interpret: bool,
                 out_dtype=jnp.float32):
-    if plan.stream_cuts is not None:
+    if plan.stream_shape is not None:
         return _apply_plan_streamed(x, plan, compute_dtype, interpret,
                                     out_dtype)
     return _apply_plan_single(x, plan, compute_dtype, interpret,
@@ -91,29 +91,43 @@ def _apply_plan(x, plan: ChunkPlan, compute_dtype, interpret: bool,
 
 def _apply_plan_streamed(x, plan: ChunkPlan, compute_dtype, interpret: bool,
                          out_dtype=jnp.float32):
-    """Stream the plan through its host-precomputed window-aligned segments
-    (``ChunkPlan.stream_cuts``); each segment owns a disjoint window range,
-    so the outputs concatenate.  Bounds the [E, F] message buffer to
-    ~STREAM_MAX_CHUNKS·C·F regardless of total edge count (the jit-safe
-    form: all cut indices are static metadata, never traced values)."""
+    """Stream a restacked [nseg, S_max, C] plan (``ChunkPlan.stream_shape``)
+    through ONE ``lax.scan``: every segment covers the same window span V,
+    so the body (gather + pallas_call) traces once and the stacked
+    [nseg, V·W, F] outputs reshape into the flat result.  Bounds the [E, F]
+    message buffer to ~S_max·C·F regardless of total edge count, and —
+    unlike the previous concatenate-of-segments form — compiles in O(1)
+    in the segment count (the unrolled form took >30 min at 1M nodes
+    through the remote-compile relay)."""
     import dataclasses as _dc
 
+    nseg, s_max, V = plan.stream_shape
     W = plan.window_rows
-    outs = []
-    for start, end, w_lo, w_hi in plan.stream_cuts:
+    F = x.shape[1]
+
+    def body(carry, seg):
+        g, ld, wt, wid = seg
         sub = _dc.replace(
             plan,
-            gather_idx=plan.gather_idx[start:end],
-            local_dst=plan.local_dst[start:end],
-            weight=plan.weight[start:end],
-            window_id=plan.window_id[start:end] - w_lo,
-            num_rows_out=(w_hi - w_lo + 1) * W,
-            num_chunks=end - start,
-            stream_cuts=None,
+            gather_idx=g,
+            local_dst=ld,
+            weight=wt,
+            window_id=wid,
+            num_rows_out=V * W,
+            num_chunks=s_max,
+            stream_shape=None,
         )
-        outs.append(_apply_plan_single(x, sub, compute_dtype, interpret,
-                                       out_dtype=out_dtype))
-    return jnp.concatenate(outs, axis=0)
+        return carry, _apply_plan_single(x, sub, compute_dtype, interpret,
+                                         out_dtype=out_dtype)
+
+    _, ys = jax.lax.scan(
+        body, None,
+        (plan.gather_idx, plan.local_dst, plan.weight, plan.window_id),
+    )
+    # trailing rows past num_rows_out are the last segment's ceil-div window
+    # overhang: no chunks target them, so they are UNINITIALIZED — slice
+    # them off here (callers pad with real zeros when they need more rows)
+    return ys.reshape(nseg * V * W, F)[: plan.num_rows_out]
 
 
 def _apply_plan_single(
@@ -125,7 +139,11 @@ def _apply_plan_single(
     # Cast BEFORE the gather so the irregular access and the materialized
     # [E, F] message tensor move half the bytes; the edge-weight multiply
     # happens inside the kernel (folded into the selector matmul).
-    msgs = jnp.take(x.astype(compute_dtype), plan.gather_idx.reshape(-1), axis=0)
+    # promise_in_bounds: plan indices are host-built node ids (pad slots
+    # carry index 0, weight 0), so the fill-mode out-of-bounds select —
+    # a full extra RMW over the [E, F] message buffer — is skipped.
+    msgs = x.astype(compute_dtype).at[plan.gather_idx.reshape(-1)].get(
+        mode="promise_in_bounds")
     msgs = msgs.reshape(plan.num_chunks, C, F)
     assert C % 128 == 0, "chunk_edges must be a multiple of 128"
     # [n_chunks, 1, C]: the (1, C) trailing block shape matches the array's
@@ -227,7 +245,8 @@ def chunked_spmm(
 def _slot_values(edge_values, perm):
     """Scatter original-order per-edge values into the [nc, C] slot layout
     (padding slots → 0)."""
-    v = jnp.take(edge_values, jnp.clip(perm, 0, None).reshape(-1), axis=0)
+    v = edge_values.at[jnp.clip(perm, 0, None).reshape(-1)].get(
+        mode="promise_in_bounds")
     return (v * (perm.reshape(-1) >= 0)).astype(jnp.float32)
 
 
@@ -279,8 +298,8 @@ def _spmm_ev_bwd(compute_dtype_name, interpret, res, g):
     dx = _apply_plan_single(
         g, plan.bwd, dtype, interpret, weights=wb
     )[: plan.rows_bwd].astype(x.dtype)
-    gd = jnp.take(g.astype(jnp.float32), edge_dst, axis=0)
-    xs = jnp.take(x.astype(jnp.float32), edge_src, axis=0)
+    gd = g.astype(jnp.float32).at[edge_dst].get(mode="promise_in_bounds")
+    xs = x.astype(jnp.float32).at[edge_src].get(mode="promise_in_bounds")
     dv = jnp.sum(gd * xs, axis=-1).astype(ev.dtype)
     return (
         dx,

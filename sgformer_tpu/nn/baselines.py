@@ -68,7 +68,7 @@ class LINK(nn.Module):
         )
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         agg = jax.ops.segment_sum(
-            jnp.take(w, graph.edge_src, axis=0),
+            w.at[graph.edge_src].get(mode="promise_in_bounds"),
             graph.edge_dst,
             num_segments=graph.num_nodes,
             indices_are_sorted=True,

@@ -140,7 +140,8 @@ class NodeFormerConv(nn.Module):
                 w = jax.lax.rsqrt(jnp.maximum(d_in[dst], 1.0)) * jax.lax.rsqrt(
                     jnp.maximum(d_in[src], 1.0)
                 )
-                msgs = jnp.take(v.reshape(n, -1), src, axis=0) * w[:, None]
+                msgs = v.reshape(n, -1).at[src].get(
+                    mode="promise_in_bounds") * w[:, None]
                 agg = jax.ops.segment_sum(msgs, dst, num_segments=n).reshape(
                     n, h, d
                 )

@@ -24,8 +24,8 @@ def sddmm(
     edge_dst: jax.Array,
 ) -> jax.Array:
     """Per-edge dots.  q/k: [N, D] or [N, H, D] → scores [E] or [E, H]."""
-    qe = jnp.take(q, edge_dst, axis=0)
-    ke = jnp.take(k, edge_src, axis=0)
+    qe = jnp.asarray(q).at[edge_dst].get(mode="promise_in_bounds")
+    ke = jnp.asarray(k).at[edge_src].get(mode="promise_in_bounds")
     return jnp.sum(qe * ke, axis=-1)
 
 

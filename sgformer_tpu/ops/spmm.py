@@ -39,7 +39,9 @@ def spmm(
     at ``large/ours.py:33-34`` (messages flow src→dst, weighted by the
     normalized coefficient).
     """
-    msgs = jnp.take(x, edge_src, axis=0)
+    # edge ids are valid node ids by construction (pad edges use in-range
+    # dummy rows with weight 0) — skip the fill-mode bounds select
+    msgs = jnp.asarray(x).at[edge_src].get(mode="promise_in_bounds")
     if weight is not None:
         msgs = msgs * weight[:, None].astype(msgs.dtype)
     return jax.ops.segment_sum(

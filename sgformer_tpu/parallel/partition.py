@@ -132,7 +132,8 @@ class ShardGraph:
         else:
             assert self.pyg_src is not None, "pyg edges not partitioned"
             src, dst, w = self.pyg_src, self.pyg_dst, self.pyg_weight
-        msgs = jnp.take(x_full, src, axis=0) * w[:, None].astype(x.dtype)
+        msgs = x_full.at[src].get(mode="promise_in_bounds")
+        msgs = msgs * w[:, None].astype(x.dtype)
         return jax.ops.segment_sum(
             msgs, dst, num_segments=self.num_nodes, indices_are_sorted=True
         )
@@ -144,19 +145,22 @@ class ShardGraph:
         independent, so XLA's async collectives overlap them), then fold in
         the halo-source edges from the received table.  Differentiable end
         to end (all_to_all transposes to all_to_all)."""
-        buf = jnp.take(x, self.halo_send_idx, axis=0)  # [S, H, F]
+        buf = x.at[self.halo_send_idx].get(
+            mode="promise_in_bounds")  # [S, H, F]
         recv = jax.lax.all_to_all(
             buf, self.axis_name, split_axis=0, concat_axis=0, tiled=False
         )  # [S, H, F]: slot i holds rows from shard i
         lsrc, ldst, lw = self.halo_local
         out = jax.ops.segment_sum(
-            jnp.take(x, lsrc, axis=0) * lw[:, None].astype(x.dtype),
+            x.at[lsrc].get(mode="promise_in_bounds")
+            * lw[:, None].astype(x.dtype),
             ldst, num_segments=self.num_nodes, indices_are_sorted=True,
         )
         hg, hdst, hw = self.halo_remote
         table = recv.reshape(-1, x.shape[-1])
         out = out + jax.ops.segment_sum(
-            jnp.take(table, hg, axis=0) * hw[:, None].astype(x.dtype),
+            table.at[hg].get(mode="promise_in_bounds")
+            * hw[:, None].astype(x.dtype),
             hdst, num_segments=self.num_nodes, indices_are_sorted=True,
         )
         return out

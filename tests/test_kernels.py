@@ -167,10 +167,11 @@ def test_fused_attention_grads_match_xla():
 
 
 def test_chunked_spmm_streamed_segments_match(coo):
-    """Window-aligned streaming (for huge edge counts) == single-call path."""
+    """Scan-streamed restacked plans (for huge edge counts) == single-call
+    path, fwd and grad (the grad streams through the transpose plan)."""
     import dataclasses
 
-    from sgformer_tpu.kernels.chunks import compute_stream_cuts
+    from sgformer_tpu.kernels.chunks import _restack_streamed
 
     n, src, dst, w, x = coo
     plan = build_chunks(src, dst, w, n, chunk_edges=128, window_rows=64)
@@ -178,24 +179,30 @@ def test_chunked_spmm_streamed_segments_match(coo):
     want = chunked_spmm(
         jnp.asarray(x), plan, compute_dtype=jnp.float32, interpret=True
     )
-    cuts_f = compute_stream_cuts(np.asarray(plan.fwd.window_id), 4)
-    cuts_b = compute_stream_cuts(np.asarray(plan.bwd.window_id), 4)
-    assert len(cuts_f) > 1
-    plan = dataclasses.replace(
-        plan,
-        fwd=dataclasses.replace(plan.fwd, stream_cuts=cuts_f),
-        bwd=dataclasses.replace(plan.bwd, stream_cuts=cuts_b),
+    g = jnp.asarray(
+        np.random.default_rng(7).standard_normal((n, 64)).astype(np.float32)
     )
+    want_dx = jax.grad(lambda x: (chunked_spmm(
+        x, plan, compute_dtype=jnp.float32, interpret=True) * g).sum())(
+            jnp.asarray(x))
+    streamed = dataclasses.replace(
+        plan,
+        fwd=_restack_streamed(plan.fwd, 4),
+        bwd=_restack_streamed(plan.bwd, 4),
+    )
+    nseg, s_max, V = streamed.fwd.stream_shape
+    assert nseg > 1
+    assert streamed.fwd.gather_idx.shape == (nseg, s_max, 128)
     got = chunked_spmm(
-        jnp.asarray(x), plan, compute_dtype=jnp.float32, interpret=True
+        jnp.asarray(x), streamed, compute_dtype=jnp.float32, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
-    # gradient path streams through the transpose plan too
-    g = jnp.asarray(np.random.default_rng(7).standard_normal((n, 64)).astype(np.float32))
-    dx = jax.grad(lambda x: (chunked_spmm(
-        x, plan, compute_dtype=jnp.float32, interpret=True) * g).sum())(jnp.asarray(x))
-    assert np.all(np.isfinite(np.asarray(dx)))
+    got_dx = jax.grad(lambda x: (chunked_spmm(
+        x, streamed, compute_dtype=jnp.float32, interpret=True) * g).sum())(
+            jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got_dx), np.asarray(want_dx),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_chunked_spmm_edge_values_fwd_and_grads(coo):
