@@ -55,17 +55,30 @@ def compute_stream_segments(window_id: np.ndarray, max_chunks: int):
     n_windows = int(wid[-1]) + 1
     cum = np.zeros(n_windows + 1, dtype=np.int64)
     np.cumsum(np.bincount(wid, minlength=n_windows), out=cum[1:])
-    nseg = max(1, -(-nc // max_chunks))
-    while True:
-        V = -(-n_windows // nseg)
-        nseg = -(-n_windows // V)  # drop segments made empty by ceil-div
+
+    def segs(V):
+        nseg = -(-n_windows // V)
         lo = np.minimum(np.arange(nseg) * V, n_windows)
         hi = np.minimum((np.arange(nseg) + 1) * V, n_windows)
         starts, ends = cum[lo], cum[hi]
-        s_max = int((ends - starts).max())
-        if s_max <= max_chunks or V == 1:
-            return nseg, V, s_max, list(zip(starts.tolist(), ends.tolist()))
-        nseg += max(1, nseg // 8)
+        return nseg, int((ends - starts).max()), starts, ends
+
+    # binary-search the largest V whose segments all fit max_chunks,
+    # treating the max per-segment count as monotone in V (alignment
+    # shifts make it only approximately so — a missed larger V costs
+    # padding efficiency, never correctness: the returned V's segments
+    # are computed fresh below).  V=1 floor when one window alone
+    # exceeds max_chunks.
+    lo_v, hi_v = 1, n_windows
+    while lo_v < hi_v:
+        mid = (lo_v + hi_v + 1) // 2
+        if segs(mid)[1] <= max_chunks:
+            lo_v = mid
+        else:
+            hi_v = mid - 1
+    V = lo_v
+    nseg, s_max, starts, ends = segs(V)
+    return nseg, V, s_max, list(zip(starts.tolist(), ends.tolist()))
 
 
 def _restack_streamed(plan: "ChunkPlan", max_chunks: int) -> "ChunkPlan":

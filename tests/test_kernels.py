@@ -235,3 +235,32 @@ def test_chunked_spmm_edge_values_fwd_and_grads(coo):
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_stream_segment_invariants():
+    """compute_stream_segments partitions chunks contiguously, spans
+    uniform window ranges, and reports the true max segment size — over
+    random window-count distributions (incl. single giant windows)."""
+    from sgformer_tpu.kernels.chunks import compute_stream_segments
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        n_windows = int(rng.integers(1, 60))
+        counts = rng.integers(1, 12, n_windows)
+        if trial % 5 == 0:  # a window bigger than max_chunks alone
+            counts[rng.integers(0, n_windows)] += 40
+        wid = np.repeat(np.arange(n_windows, dtype=np.int32), counts)
+        max_chunks = int(rng.integers(2, 30))
+        nseg, V, s_max, bounds = compute_stream_segments(wid, max_chunks)
+        assert nseg == len(bounds)
+        assert (nseg - 1) * V < n_windows <= nseg * V
+        # contiguous partition of [0, nc)
+        assert bounds[0][0] == 0 and bounds[-1][1] == len(wid)
+        for (a0, b0), (a1, b1) in zip(bounds, bounds[1:]):
+            assert b0 == a1 and b0 >= a0
+        # each segment holds exactly the chunks of its window span
+        for s, (a, b) in enumerate(bounds):
+            if b > a:
+                assert wid[a] >= s * V and wid[b - 1] < (s + 1) * V
+        assert s_max == max(b - a for a, b in bounds)
+        assert s_max <= max_chunks or V == 1

@@ -534,3 +534,29 @@ def test_hub_sep_bf16_close(hub_problem):
     got = np.asarray(slab_spmm(jnp.asarray(x), plan,
                                compute_dtype=jnp.bfloat16, interpret=True))
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.05)
+
+
+def test_slab_streamed_remote_matches(problem, monkeypatch):
+    """A slab plan whose REMOTE side restacks for scan streaming (huge
+    cross-slab edge counts) stays exact vs the oracle, fwd and grad."""
+    import sgformer_tpu.kernels.chunks as chunks_mod
+
+    s2, d2, w2, n, _, x = problem
+    monkeypatch.setattr(chunks_mod, "STREAM_MAX_CHUNKS", 2)
+    plan = build_slabs(s2, d2, w2, n, **PARAMS)
+    rem = plan.fwd.remote
+    assert rem is not None and rem.stream_shape is not None
+    assert rem.stream_shape[0] > 1  # actually streams
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    g = np.random.default_rng(3).standard_normal((n, 32)).astype(np.float32)
+    want_dx = np.asarray(jax.grad(lambda x: (spmm(
+        x, jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2), n)
+        * jnp.asarray(g)).sum())(jnp.asarray(x)))
+    got_dx = np.asarray(jax.grad(lambda x: (slab_spmm(
+        x, plan, compute_dtype=jnp.float32, interpret=True)
+        * jnp.asarray(g)).sum())(jnp.asarray(x)))
+    np.testing.assert_allclose(got_dx, want_dx, rtol=2e-6, atol=2e-6)
