@@ -95,18 +95,28 @@ def performer_attention(
     ks,
     vs,
     *,
-    key: jax.Array,
+    key: Optional[jax.Array] = None,
     num_features: Optional[int] = None,
     tau: float = 0.25,
     edge_index: Optional[jax.Array] = None,
+    projection: Optional[jax.Array] = None,
 ):
     """NodeFormer's kernelized (Performer) softmax attention
     (``oursNF.py:113-150``): O(N·M) linear aggregation through positive
     random features; optionally returns per-edge attention weights for the
-    edge-regularization loss (``return_weight`` path)."""
+    edge-regularization loss (``return_weight`` path).
+
+    ``projection`` injects a fixed [M, D] random-feature matrix instead of
+    drawing one from ``key`` — used to pin the features across calls (and
+    by the cross-implementation parity suite to share one projection with
+    the reference's ``kernelized_softmax``)."""
     d = qs.shape[-1]
-    m = num_features or 2 * d
-    proj = create_projection_matrix(m, d, key)
+    if projection is not None:
+        proj = projection
+    else:
+        assert key is not None, "performer_attention needs key or projection"
+        m = num_features or 2 * d
+        proj = create_projection_matrix(m, d, key)
     q = qs / math.sqrt(tau)
     k = ks / math.sqrt(tau)
     q_prime = softmax_kernel_transformation(q, True, proj)  # [N, H, M]

@@ -1,0 +1,346 @@
+"""Cross-implementation parity for the model zoo and ablation kernels:
+our JAX implementations vs the reference's own torch code, loaded
+unmodified via ``reference_shim``.
+
+Covers the ablation attention kernels (``medium/ablation/ours{SOFT,GAT,
+NF}.py``), NodeFormer (full model forward incl. relational bias and the
+edge-regularization losses), and DIFFormer (both kernels, graph branch,
+``use_source``/``graph_weight`` variants).  Random-feature kernels share
+one injected projection matrix on both sides, replacing the reference's
+data-dependent torch seeding (``nodeformer.py:272-276``) which cannot be
+reproduced under jit.
+"""
+
+from __future__ import annotations
+
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_shim import REFERENCE_ROOT, load_reference  # noqa: E402
+
+if not REFERENCE_ROOT.exists():  # pragma: no cover
+    pytest.skip("no reference checkout", allow_module_level=True)
+
+from sgformer_tpu.graph import preprocess_graph  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_soft():
+    return load_reference(
+        "medium/ablation/oursSOFT.py", "ref_ablation_soft", stub_modules=("models",)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_gat():
+    return load_reference(
+        "medium/ablation/oursGAT.py", "ref_ablation_gat", stub_modules=("models",)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_nf():
+    return load_reference(
+        "medium/ablation/oursNF.py", "ref_ablation_nf", stub_modules=("models",)
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_nodeformer():
+    return load_reference("medium/nodeformer.py", "ref_nodeformer")
+
+
+@pytest.fixture(scope="module")
+def ref_difformer():
+    return load_reference("medium/difformer.py", "ref_difformer")
+
+
+def _t(a):
+    return torch.tensor(np.asarray(a))
+
+
+def _lin(mod):
+    return {
+        "kernel": jnp.array(mod.weight.detach().numpy().T),
+        "bias": jnp.array(mod.bias.detach().numpy()),
+    }
+
+
+def _ln(mod):
+    return {
+        "scale": jnp.array(mod.weight.detach().numpy()),
+        "bias": jnp.array(mod.bias.detach().numpy()),
+    }
+
+
+def _qkv(rng, n, h, m):
+    return tuple(
+        rng.standard_normal((n, h, m)).astype(np.float32) for _ in range(3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ablation attention kernels
+# ---------------------------------------------------------------------------
+
+
+def test_softmax_ablation_kernel_reference_quirk(ref_soft):
+    """The reference's softmax ablation normalizes over the WRONG axis:
+    ``F.softmax(scores, dim=-1)`` on an [N, L, H] tensor softmaxes over
+    HEADS, not source nodes (``oursSOFT.py:19-20``) — for H=1 every weight
+    is exactly 1 and the output degenerates to Σₗ vs.  This test pins the
+    quirk in the reference's executing code and asserts our kernel
+    implements the intended source-node softmax instead (weights sum to 1
+    over L) — a deliberate deviation, recorded in SURVEY.md §8."""
+    from sgformer_tpu.ops.attention_variants import softmax_attention
+
+    qs, ks, vs = _qkv(np.random.default_rng(0), 23, 1, 6)
+    want = ref_soft.softmax_attention(_t(qs), _t(ks), _t(vs)).numpy()
+    # reference, H=1: softmax over the singleton head axis → all-ones
+    # weights → output is the unweighted sum of all values, for every query
+    np.testing.assert_allclose(
+        want, np.broadcast_to(vs.sum(0), want.shape), rtol=1e-5, atol=1e-6
+    )
+    got, got_attn = softmax_attention(
+        jnp.asarray(qs), jnp.asarray(ks), jnp.asarray(vs), output_attn=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_attn).sum(axis=1), 1.0, rtol=1e-5
+    )  # ours: a real distribution over source nodes
+    assert not np.allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_gat_ablation_kernel_reference_quirk(ref_gat):
+    """Same wrong-axis softmax in the GAT ablation
+    (``oursGAT.py:26,38-39``: ``nn.Softmax(dim=-1)`` over [N, L, H]) — for
+    heads=1 the module degenerates to summing all (projected) values.  Pins
+    the reference behavior; ours softmaxes over source nodes."""
+    from sgformer_tpu.ops.attention_variants import gat_attention
+
+    rng = np.random.default_rng(1)
+    n, hidden = 19, 12
+    x = rng.standard_normal((n, hidden)).astype(np.float32)
+    att = ref_gat.GATAttention(hidden, hidden, num_heads=1)
+    with torch.no_grad():
+        want = att(_t(x), _t(x), _t(x)).numpy()
+        v = (
+            (x @ att.Wv.weight.detach().numpy().T + att.Wv.bias.detach().numpy())
+            .reshape(n, 1, hidden)
+        )
+    np.testing.assert_allclose(
+        want, np.broadcast_to(v.sum(0), want.shape), rtol=1e-4, atol=1e-5
+    )
+
+    def proj(linear):
+        w = linear.weight.detach().numpy()
+        b = linear.bias.detach().numpy()
+        return (x @ w.T + b).reshape(n, 1, -1)
+
+    got, got_attn = gat_attention(
+        jnp.asarray(proj(att.Wq)),
+        jnp.asarray(proj(att.Wk)),
+        jnp.asarray(proj(att.Wv)),
+        output_attn=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_attn).sum(axis=1), 1.0, rtol=1e-5)
+    assert not np.allclose(np.asarray(got), want, atol=1e-3)
+
+
+def test_performer_kernel_parity_with_shared_projection(ref_nf):
+    """Reference ``kernelized_softmax`` (``oursNF.py:113-150``) vs our
+    ``performer_attention`` with one injected projection, including the
+    per-edge attention weights used by the edge-regularization loss."""
+    from sgformer_tpu.ops.attention_variants import performer_attention
+
+    rng = np.random.default_rng(2)
+    n, h, d, m = 21, 2, 6, 10
+    qs, ks, vs = _qkv(rng, n, h, d)
+    proj = rng.standard_normal((m, d)).astype(np.float32)
+    src = rng.integers(0, n, 40)
+    dst = rng.integers(0, n, 40)
+    edge_index = np.stack([src, dst]).astype(np.int64)
+
+    want, want_w = ref_nf.kernelized_softmax(
+        _t(qs[None]),
+        _t(ks[None]),
+        _t(vs[None]),
+        return_weight=True,
+        projection_matrix=_t(proj),
+        edge_index=_t(edge_index),
+        tau=0.25,
+    )
+    got, got_w = performer_attention(
+        jnp.asarray(qs),
+        jnp.asarray(ks),
+        jnp.asarray(vs),
+        projection=jnp.asarray(proj),
+        tau=0.25,
+        edge_index=jnp.asarray(edge_index),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.squeeze(0).numpy(), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_w), want_w.squeeze(0).numpy(), rtol=2e-5, atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# NodeFormer: full-model eval forward + edge losses
+# ---------------------------------------------------------------------------
+
+
+def test_nodeformer_model_parity(ref_nodeformer, monkeypatch):
+    import sgformer_tpu.nn.nodeformer as nf_mod
+    from sgformer_tpu.nn.nodeformer import NodeFormer, build_nodeformer_adjs
+
+    rng = np.random.default_rng(5)
+    n, f, hidden, classes, heads, layers, rb_order = 40, 10, 8, 4, 2, 2, 2
+    edge_index = np.stack(
+        [rng.integers(0, n, 150), rng.integers(0, n, 150)]
+    ).astype(np.int64)
+    g = preprocess_graph(edge_index, n)
+    edges = np.asarray(g.edge_index)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    m_feats = 10
+    proj = rng.standard_normal((m_feats, hidden)).astype(np.float32)
+    monkeypatch.setattr(
+        ref_nodeformer,
+        "create_projection_matrix",
+        lambda m_, d_, seed=0, **k: _t(proj),
+    )
+    monkeypatch.setattr(
+        nf_mod, "create_projection_matrix", lambda m_, d_, key: jnp.asarray(proj)
+    )
+
+    tmodel = ref_nodeformer.NodeFormer(
+        f,
+        hidden,
+        classes,
+        num_layers=layers,
+        num_heads=heads,
+        dropout=0.0,
+        nb_random_features=m_feats,
+        use_gumbel=True,
+        rb_order=rb_order,
+        rb_trans="sigmoid",
+        use_edge_loss=True,
+    )
+    tmodel.reset_parameters()  # the rb `b` tensors are constructed uninitialized
+    tmodel.eval()
+    data = types.SimpleNamespace(
+        graph={"num_nodes": n, "edge_index": _t(edges), "node_feat": _t(x)}
+    )
+    with torch.no_grad():
+        want, want_losses = tmodel(data, tau=1.0)
+
+    model = NodeFormer(
+        hidden,
+        classes,
+        num_layers=layers,
+        num_heads=heads,
+        dropout=0.0,
+        nb_random_features=m_feats,
+        use_gumbel=True,
+        rb_order=rb_order,
+        rb_trans="sigmoid",
+        use_edge_loss=True,
+        tau=1.0,
+    )
+    params = {"fc_in": _lin(tmodel.fcs[0]), "ln_in": _ln(tmodel.bns[0])}
+    for i in range(layers):
+        conv = tmodel.convs[i]
+        params[f"conv_{i}"] = {
+            "Wq": _lin(conv.Wq),
+            "Wk": _lin(conv.Wk),
+            "Wv": _lin(conv.Wv),
+            "Wo": _lin(conv.Wo),
+            "b": jnp.array(conv.b.detach().numpy()),
+        }
+        params[f"ln_{i}"] = _ln(tmodel.bns[i + 1])
+    params["fc_out"] = _lin(tmodel.fcs[-1])
+
+    adjs = build_nodeformer_adjs(edges, n, rb_order=rb_order)
+    got, got_losses = model.apply(
+        {"params": params}, jnp.asarray(x), g, adjs=adjs, train=False
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=2e-4, atol=2e-5)
+    assert len(got_losses) == len(want_losses) == layers
+    for gl, wl in zip(got_losses, want_losses):
+        np.testing.assert_allclose(float(gl), float(wl), rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# DIFFormer: full-model forward, both kernels + fusion variants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "kernel,graph_weight,use_source",
+    [("simple", -1.0, False), ("simple", 0.5, True), ("sigmoid", -1.0, False)],
+)
+def test_difformer_model_parity(
+    ref_difformer, kernel, graph_weight, use_source
+):
+    from sgformer_tpu.nn.difformer import DIFFormer
+
+    rng = np.random.default_rng(7)
+    n, f, hidden, classes, heads, layers = 34, 9, 8, 3, 2, 2
+    edge_index = np.stack(
+        [rng.integers(0, n, 120), rng.integers(0, n, 120)]
+    ).astype(np.int64)
+    g = preprocess_graph(edge_index, n)
+    edges = np.asarray(g.edge_index)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    tmodel = ref_difformer.DIFFormer(
+        f,
+        hidden,
+        classes,
+        num_layers=layers,
+        num_heads=heads,
+        kernel=kernel,
+        dropout=0.0,
+        use_graph=True,
+        graph_weight=graph_weight,
+        use_source=use_source,
+    )
+    tmodel.eval()
+    data = types.SimpleNamespace(
+        graph={"num_nodes": n, "edge_index": _t(edges), "node_feat": _t(x)}
+    )
+    with torch.no_grad():
+        want = tmodel(data).numpy()
+
+    model = DIFFormer(
+        hidden,
+        classes,
+        num_layers=layers,
+        num_heads=heads,
+        kernel=kernel,
+        dropout=0.0,
+        use_graph=True,
+        graph_weight=graph_weight,
+        use_source=use_source,
+    )
+    params = {"fc_in": _lin(tmodel.fcs[0]), "ln_in": _ln(tmodel.bns[0])}
+    for i in range(layers):
+        conv = tmodel.convs[i]
+        params[f"conv_{i}"] = {
+            "Wq": _lin(conv.Wq),
+            "Wk": _lin(conv.Wk),
+            "Wv": _lin(conv.Wv),
+        }
+        params[f"ln_{i}"] = _ln(tmodel.bns[i + 1])
+    params["fc_out"] = _lin(tmodel.fcs[-1])
+
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x), g, train=False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
