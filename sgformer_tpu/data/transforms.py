@@ -124,7 +124,10 @@ def gen_normalized_adjs(edge_index: np.ndarray, num_nodes: int):
 
 def adj_mul(edge_index: np.ndarray, num_nodes: int, power: int = 2):
     """Sparse adjacency power A^k edge list (NodeFormer's relational-bias
-    hops; ``large/data_utils.py:255-260``)."""
+    hops; ``large/data_utils.py:255-260``).  Matches the reference's
+    coalesced sparse product: unique structural edges, self-loop entries
+    produced by the product are KEPT (verified against the reference's
+    executing ``adj_mul`` in ``tests/test_reference_parity_infra.py``)."""
     import scipy.sparse as sp
 
     src, dst = np.asarray(edge_index)
@@ -134,10 +137,7 @@ def adj_mul(edge_index: np.ndarray, num_nodes: int, power: int = 2):
     ak = a
     for _ in range(power - 1):
         ak = ak @ a
-    ak = (ak > 0).astype(np.float64)
-    ak.setdiag(0)
-    ak.eliminate_zeros()
-    coo = ak.tocoo()
+    coo = (ak > 0).tocoo()
     return np.stack([coo.col, coo.row]).astype(np.int64)
 
 

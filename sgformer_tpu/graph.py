@@ -334,19 +334,28 @@ def pyg_gcn_norm(
 ):
     """PyG-style ``gcn_norm`` used by the medium-tier GCN backbone
     (``medium/models.py:22-38`` via ``torch_geometric.nn.GCNConv``):
-    adds self-loops (fill 2 if ``improved``), degree from edge weights over
-    dst, weight ``dinv[src]*dinv[dst]``.  Returns (src, dst, weight) sorted
-    by dst.
+    add-REMAINING self-loops (existing loops keep their weight; loop-less
+    nodes get fill 1, or 2 if ``improved`` — PyG ``add_remaining_self_
+    loops`` semantics, verified against the reference's executing code in
+    ``tests/test_reference_parity_baselines.py``), degree from edge
+    weights over dst, weight ``dinv[src]*dinv[dst]``.  Returns
+    (src, dst, weight) sorted by dst.
     """
     edge_index = np.asarray(edge_index)
     src, dst = edge_index
     weight = np.ones(src.shape[0], dtype=np.float64)
     if add_self_loops_:
         fill = 2.0 if improved else 1.0
+        mask = src != dst
+        loop_weight = np.full(num_nodes, fill)
+        # existing self-loop weights are PRESERVED, not doubled — on the
+        # canonically preprocessed graph (one unit loop per node) this
+        # makes pyg weights identical to gcn_norm_weights
+        loop_weight[src[~mask]] = weight[~mask]
         loop = np.arange(num_nodes, dtype=src.dtype)
-        src = np.concatenate([src, loop])
-        dst = np.concatenate([dst, loop])
-        weight = np.concatenate([weight, np.full(num_nodes, fill)])
+        src = np.concatenate([src[mask], loop])
+        dst = np.concatenate([dst[mask], loop])
+        weight = np.concatenate([weight[mask], loop_weight])
     deg = np.zeros(num_nodes, dtype=np.float64)
     np.add.at(deg, dst, weight)
     with np.errstate(divide="ignore"):

@@ -125,8 +125,12 @@ class SGC2(nn.Module):
 
 
 class SIGN(nn.Module):
-    """large/gnns.py:222-270: per-hop linear embeddings of [x, Ax, …, A^K x]
-    summed, then an MLP head."""
+    """large/gnns.py:222-270: concat of [x, Ax, …, A^K x] through the first
+    linear (realized as per-hop linears summed — identical map, with the
+    reference's single bias carried on ``hop_0``), then BN/ReLU/dropout and
+    the remaining ``num_layers - 1`` linears.  ``num_layers`` counts the
+    reference's ``lins`` (first projection + middles + head,
+    gnns.py:226-233)."""
 
     hidden_channels: int
     out_channels: int
@@ -138,22 +142,25 @@ class SIGN(nn.Module):
 
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
+        dropout = Dropout(self.dropout, deterministic=not train)
         hs = []
         h = x
         for k in range(self.hops + 1):
             if k > 0:
                 h = graph.propagate(h, kind="gcn")
             hs.append(TorchLinear(self.hidden_channels, name=f"hop_{k}")(h))
-        z = sum(hs)
-        return MLP(
-            self.hidden_channels,
-            self.out_channels,
-            num_layers=self.num_layers,
-            dropout=self.dropout,
-            use_bn=self.use_bn,
-            axis_name=self.axis_name,
-            name="mlp",
-        )(z, graph, train=train, node_mask=node_mask)
+        z = sum(hs)  # == lins[0](cat(embeddings)), gnns.py:262-264
+        n_lins = max(self.num_layers, 2)
+        for i in range(1, n_lins):
+            if self.use_bn:
+                z = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i - 1}")(
+                    z, train=train, node_mask=node_mask
+                )
+            z = nn.relu(z)
+            z = dropout(z)
+            width = self.out_channels if i == n_lins - 1 else self.hidden_channels
+            z = TorchLinear(width, name=f"lin_{i}")(z)
+        return z
 
 
 class GATConv(nn.Module):
@@ -249,25 +256,53 @@ class GAT(nn.Module):
 
 
 class MixHopLayer(nn.Module):
-    """large/gnns.py:365-387: concat of per-hop linear transforms of
-    A^j x for j = 0..hops."""
+    """large/gnns.py:365-387: concat over j = 0..hops of ``A^j(x Wⱼ + bⱼ)``.
+    The reference applies the linear BEFORE propagating, so the bias rides
+    through the adjacency powers; equivalently ``(A^j x) Wⱼ + (A^j 1) bⱼ``
+    — the ones-vector propagation tracks the bias factor with one extra
+    [N, 1] column instead of re-propagating per hop order."""
 
     out_channels: int
     hops: int = 2
 
     @nn.compact
     def __call__(self, x, graph):
+        import math
+
+        fan_in = x.shape[-1]
+        bound = 1.0 / math.sqrt(fan_in)
         outs = []
         h = x
+        r = jnp.ones((x.shape[0], 1), x.dtype)
         for j in range(self.hops + 1):
             if j > 0:
                 h = graph.propagate(h, kind="gcn")
-            outs.append(TorchLinear(self.out_channels, name=f"lin_{j}")(h))
+                r = graph.propagate(r, kind="gcn")
+            kernel = self.param(
+                f"lin_{j}_kernel",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -bound, bound
+                ),
+                (fan_in, self.out_channels),
+            )
+            bias = self.param(
+                f"lin_{j}_bias",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -bound, bound
+                ),
+                (self.out_channels,),
+            )
+            outs.append(
+                jnp.dot(h, kernel.astype(h.dtype))
+                + r * bias.astype(h.dtype)[None, :]
+            )
         return jnp.concatenate(outs, axis=1)
 
 
 class MixHop(nn.Module):
-    """large/gnns.py:389-450: MixHopLayer stack + final projection."""
+    """large/gnns.py:389-450: MixHopLayer stack + final projection.  The
+    last layer maps to ``out_channels`` and joins ``final_project`` raw
+    (no BN/act/dropout, gnns.py:426-450)."""
 
     hidden_channels: int
     out_channels: int
@@ -281,15 +316,16 @@ class MixHop(nn.Module):
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
         dropout = Dropout(self.dropout, deterministic=not train)
         for i in range(self.num_layers):
-            x = MixHopLayer(self.hidden_channels, hops=self.hops, name=f"mix_{i}")(
-                x, graph
-            )
-            if self.use_bn:
-                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
-                    x, train=train, node_mask=node_mask
-                )
-            x = nn.relu(x)
-            x = dropout(x)
+            last = i == self.num_layers - 1
+            width = self.out_channels if last else self.hidden_channels
+            x = MixHopLayer(width, hops=self.hops, name=f"mix_{i}")(x, graph)
+            if not last:
+                if self.use_bn:
+                    x = MaskedBatchNorm(
+                        axis_name=self.axis_name, name=f"bn_{i}"
+                    )(x, train=train, node_mask=node_mask)
+                x = nn.relu(x)
+                x = dropout(x)
         return TorchLinear(self.out_channels, name="final")(x)
 
 
@@ -313,13 +349,18 @@ class GCNJK(nn.Module):
         xs = []
         for i in range(self.num_layers):
             x = GCNConv(self.hidden_channels, name=f"conv_{i}")(x, graph)
-            if self.use_bn and i < self.num_layers - 1:
-                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
-                    x, train=train, node_mask=node_mask
-                )
-            x = nn.relu(x)
-            xs.append(x)
-            x = dropout(x)
+            # the LAST conv output joins the jump connection RAW — no
+            # bn/act/dropout (gnns.py:487-497 appends after the loop)
+            if i < self.num_layers - 1:
+                if self.use_bn:
+                    x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                        x, train=train, node_mask=node_mask
+                    )
+                x = nn.relu(x)
+                xs.append(x)
+                x = dropout(x)
+            else:
+                xs.append(x)
         if self.jk_type == "max":
             z = jnp.stack(xs, 0).max(axis=0)
         else:
@@ -347,13 +388,17 @@ class GATJK(nn.Module):
             x = GATConv(self.hidden_channels, heads=self.heads, name=f"conv_{i}")(
                 x, graph
             )
-            if self.use_bn and i < self.num_layers - 1:
-                x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
-                    x, train=train, node_mask=node_mask
-                )
-            x = nn.elu(x)
-            xs.append(x)
-            x = dropout(x)
+            # last conv joins the jump connection raw (gnns.py:540-550)
+            if i < self.num_layers - 1:
+                if self.use_bn:
+                    x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
+                        x, train=train, node_mask=node_mask
+                    )
+                x = nn.elu(x)
+                xs.append(x)
+                x = dropout(x)
+            else:
+                xs.append(x)
         if self.jk_type == "max":
             z = jnp.stack(xs, 0).max(axis=0)
         else:

@@ -31,7 +31,8 @@ def _build_torch_sparse():
     class SparseTensor:
         """Minimal stand-in for ``torch_sparse.SparseTensor``: COO triplet
         plus the sparse size — only the surface the reference model code
-        touches (constructor + ``matmul``, ``large/ours.py:33-34``)."""
+        touches (constructor + ``matmul``, ``large/ours.py:33-34``;
+        ``to_torch_sparse_coo_tensor`` for LINK, ``device`` for MultiLP)."""
 
         def __init__(self, row=None, col=None, value=None, sparse_sizes=None):
             self.row_idx = row
@@ -41,6 +42,19 @@ def _build_torch_sparse():
 
         def sparse_sizes(self):
             return self._sparse_sizes
+
+        def device(self):
+            return self.row_idx.device
+
+        def to_torch_sparse_coo_tensor(self):
+            v = self.value
+            if v is None:
+                v = torch.ones(self.row_idx.shape[0])
+            return torch.sparse_coo_tensor(
+                torch.stack([self.row_idx.long(), self.col_idx.long()]),
+                v,
+                self._sparse_sizes,
+            ).coalesce()
 
     def matmul(adj: SparseTensor, x, reduce: str = "sum"):
         """``out[..., row_e, :] += value_e * x[..., col_e, :]`` — the
@@ -97,13 +111,229 @@ def _build_torch_geometric():
             raise NotImplementedError("shim add_self_loops with edge_attr")
         return out, None
 
+    def subgraph(subset, edge_index, edge_attr=None, relabel_nodes=False,
+                 num_nodes=None):
+        """PyG ``utils.subgraph``: keep edges with BOTH endpoints in
+        ``subset``; optionally relabel to the subset's local ids."""
+        n = int(num_nodes) if num_nodes is not None else int(edge_index.max()) + 1
+        node_mask = torch.zeros(n, dtype=torch.bool)
+        node_mask[subset] = True
+        emask = node_mask[edge_index[0]] & node_mask[edge_index[1]]
+        ei = edge_index[:, emask]
+        if relabel_nodes:
+            relabel = torch.full((n,), -1, dtype=torch.long)
+            relabel[subset] = torch.arange(len(subset))
+            ei = relabel[ei]
+        return ei, (edge_attr[emask] if edge_attr is not None else None)
+
     pkg = types.ModuleType("torch_geometric")
     utils = types.ModuleType("torch_geometric.utils")
     utils.degree = degree
     utils.remove_self_loops = remove_self_loops
     utils.add_self_loops = add_self_loops
+    utils.subgraph = subgraph
     pkg.utils = utils
     return pkg, utils
+
+
+def _build_torch_geometric_nn(ts_mod):
+    """Pure-torch stand-ins for the PyG 1.7.2 convs/utilities that
+    ``large/gnns.py`` and ``medium/models.py`` import
+    (``large/requirements.txt`` pins torch_geometric 1.7.2).  Implemented
+    from the documented PyG semantics — ``gcn_norm`` with
+    ``add_remaining_self_loops`` weight handling, GCNConv's
+    weight-then-propagate-then-bias order — NOT copied from PyG (which is
+    CUDA-compiled here).  ``GATConv`` is a construct-time stub: the GAT
+    baselines are covered against the numpy oracle instead."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    SparseTensor, st_matmul = ts_mod.SparseTensor, ts_mod.matmul
+
+    def _add_remaining_self_loops(edge_index, edge_weight, fill_value, n):
+        row, col = edge_index[0], edge_index[1]
+        mask = row != col
+        loop_weight = torch.full((n,), float(fill_value))
+        inv = ~mask
+        if edge_weight is not None and int(inv.sum()) > 0:
+            # existing self-loop weights are PRESERVED (PyG
+            # add_remaining_self_loops), not replaced by fill_value
+            loop_weight[row[inv].long()] = edge_weight[inv]
+        loop = torch.arange(n, dtype=edge_index.dtype).unsqueeze(0).repeat(2, 1)
+        out_index = torch.cat([edge_index[:, mask], loop], dim=1)
+        out_weight = torch.cat(
+            [edge_weight[mask] if edge_weight is not None
+             else torch.ones(int(mask.sum())), loop_weight]
+        )
+        return out_index, out_weight
+
+    def gcn_norm(edge_index, edge_weight=None, num_nodes=None, improved=False,
+                 add_self_loops=True, dtype=None):
+        assert isinstance(edge_index, torch.Tensor), "shim: Tensor form only"
+        n = int(num_nodes) if num_nodes is not None else int(edge_index.max()) + 1
+        fill = 2.0 if improved else 1.0
+        if edge_weight is None:
+            edge_weight = torch.ones(edge_index.shape[1])
+        if add_self_loops:
+            edge_index, edge_weight = _add_remaining_self_loops(
+                edge_index, edge_weight, fill, n
+            )
+        row, col = edge_index[0].long(), edge_index[1].long()
+        deg = torch.zeros(n).scatter_add_(0, col, edge_weight)
+        dinv = deg.pow(-0.5)
+        dinv[torch.isinf(dinv)] = 0.0
+        return edge_index, dinv[row] * edge_weight * dinv[col]
+
+    def _scatter_edges(msg, dst, n):
+        out = torch.zeros((n,) + tuple(msg.shape[1:]), dtype=msg.dtype)
+        out.index_add_(0, dst.long(), msg)
+        return out
+
+    class GCNConv(nn.Module):
+        """PyG 1.7 GCNConv: ``x @ weight`` → weighted scatter → ``+ bias``;
+        ``normalize=False`` propagates the RAW adjacency (no self-loops,
+        no degree norm) — the ``save_mem=True`` quirk in gnns.py:177-182."""
+
+        def __init__(self, in_channels, out_channels, improved=False,
+                     cached=False, add_self_loops=True, normalize=True,
+                     bias=True):
+            super().__init__()
+            self.improved = improved
+            self.normalize = normalize
+            self.add_self_loops = add_self_loops
+            self.weight = nn.Parameter(torch.empty(in_channels, out_channels))
+            self.bias = nn.Parameter(torch.zeros(out_channels)) if bias else None
+            self.reset_parameters()
+
+        def reset_parameters(self):
+            nn.init.xavier_uniform_(self.weight)  # PyG glorot
+            if self.bias is not None:
+                nn.init.zeros_(self.bias)
+
+        def forward(self, x, edge_index, edge_weight=None):
+            if self.normalize:
+                edge_index, edge_weight = gcn_norm(
+                    edge_index, edge_weight, x.shape[0], self.improved,
+                    self.add_self_loops, x.dtype,
+                )
+            x = x @ self.weight
+            msg = x[edge_index[0].long()]
+            if edge_weight is not None:
+                msg = msg * edge_weight.view(-1, 1)
+            out = _scatter_edges(msg, edge_index[1], x.shape[0])
+            if self.bias is not None:
+                out = out + self.bias
+            return out
+
+    class SGConv(nn.Module):
+        """PyG SGConv: K gcn_norm propagations, then one Linear."""
+
+        def __init__(self, in_channels, out_channels, K=1, cached=False,
+                     add_self_loops=True, bias=True):
+            super().__init__()
+            self.K = K
+            self.lin = nn.Linear(in_channels, out_channels, bias=bias)
+
+        def reset_parameters(self):
+            self.lin.reset_parameters()
+
+        def forward(self, x, edge_index, edge_weight=None):
+            edge_index, edge_weight = gcn_norm(
+                edge_index, edge_weight, x.shape[0], False, True, x.dtype
+            )
+            src, dst = edge_index[0], edge_index[1]
+            for _ in range(self.K):
+                x = _scatter_edges(x[src.long()] * edge_weight.view(-1, 1),
+                                   dst, x.shape[0])
+            return self.lin(x)
+
+    class APPNP(nn.Module):
+        """PyG APPNP: z ← (1-α)·Â z + α·h, K iterations."""
+
+        def __init__(self, K, alpha, cached=False, add_self_loops=True,
+                     normalize=True):
+            super().__init__()
+            self.K, self.alpha = K, alpha
+
+        def reset_parameters(self):
+            pass
+
+        def forward(self, x, edge_index, edge_weight=None):
+            edge_index, edge_weight = gcn_norm(
+                edge_index, edge_weight, x.shape[0], False, True, x.dtype
+            )
+            src, dst = edge_index[0], edge_index[1]
+            h = x
+            for _ in range(self.K):
+                x = _scatter_edges(x[src.long()] * edge_weight.view(-1, 1),
+                                   dst, x.shape[0])
+                x = x * (1 - self.alpha) + self.alpha * h
+            return x
+
+    class JumpingKnowledge(nn.Module):
+        def __init__(self, mode, channels=None, num_layers=None):
+            super().__init__()
+            assert mode in ("cat", "max"), f"shim JK mode {mode!r}"
+            self.mode = mode
+
+        def reset_parameters(self):
+            pass
+
+        def forward(self, xs):
+            if self.mode == "cat":
+                return torch.cat(xs, dim=-1)
+            return torch.stack(xs, dim=0).max(dim=0)[0]
+
+    class MessagePassing(nn.Module):
+        """Minimal base: 'add' aggregation, source_to_target flow, message
+        kwargs resolved by the PyG suffix convention (``*_j`` gathers the
+        source endpoint, ``*_i`` the destination, others pass through)."""
+
+        def __init__(self, aggr="add", **kwargs):
+            super().__init__()
+            assert aggr == "add", f"shim MessagePassing aggr {aggr!r}"
+
+        def propagate(self, edge_index, size=None, **kwargs):
+            import inspect
+
+            src, dst = edge_index[0].long(), edge_index[1].long()
+            n = kwargs["x"].shape[0]
+            args = []
+            for name in inspect.signature(self.message).parameters:
+                if name.endswith("_j"):
+                    args.append(kwargs[name[:-2]][src])
+                elif name.endswith("_i"):
+                    args.append(kwargs[name[:-2]][dst])
+                else:
+                    args.append(kwargs[name])
+            return _scatter_edges(self.message(*args), dst, n)
+
+        def message(self, x_j):
+            return x_j
+
+    class GATConv(nn.Module):  # pragma: no cover - stub
+        def __init__(self, *a, **k):
+            raise RuntimeError(
+                "GATConv shim is construct-time only; GAT baselines are "
+                "verified against the numpy oracle (tests/test_baselines.py)"
+            )
+
+    nn_mod = types.ModuleType("torch_geometric.nn")
+    nn_mod.GCNConv = GCNConv
+    nn_mod.SGConv = SGConv
+    nn_mod.GATConv = GATConv
+    nn_mod.APPNP = APPNP
+    nn_mod.JumpingKnowledge = JumpingKnowledge
+    nn_mod.MessagePassing = MessagePassing
+    conv_pkg = types.ModuleType("torch_geometric.nn.conv")
+    gcn_conv_mod = types.ModuleType("torch_geometric.nn.conv.gcn_conv")
+    gcn_conv_mod.gcn_norm = gcn_norm
+    gcn_conv_mod.GCNConv = GCNConv
+    conv_pkg.gcn_conv = gcn_conv_mod
+    nn_mod.conv = conv_pkg
+    return nn_mod, conv_pkg, gcn_conv_mod
 
 
 def install_shims() -> None:
@@ -119,8 +349,28 @@ def install_shims() -> None:
             import torch_geometric  # noqa: F401
         except ImportError:
             pkg, utils = _build_torch_geometric()
+            nn_mod, conv_pkg, gcn_conv_mod = _build_torch_geometric_nn(
+                sys.modules["torch_sparse"]
+            )
+            pkg.nn = nn_mod
             sys.modules["torch_geometric"] = pkg
             sys.modules["torch_geometric.utils"] = utils
+            sys.modules["torch_geometric.nn"] = nn_mod
+            sys.modules["torch_geometric.nn.conv"] = conv_pkg
+            sys.modules["torch_geometric.nn.conv.gcn_conv"] = gcn_conv_mod
+    if "google_drive_downloader" not in sys.modules:
+        try:
+            import google_drive_downloader  # noqa: F401
+        except ImportError:
+            gdd_mod = types.ModuleType("google_drive_downloader")
+
+            class GoogleDriveDownloader:  # pragma: no cover - never called
+                @staticmethod
+                def download_file_from_google_drive(*a, **k):
+                    raise RuntimeError("no network in this environment")
+
+            gdd_mod.GoogleDriveDownloader = GoogleDriveDownloader
+            sys.modules["google_drive_downloader"] = gdd_mod
 
 
 def load_reference(relpath: str, name: str, stub_modules: tuple = ()):

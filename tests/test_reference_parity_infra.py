@@ -1,0 +1,154 @@
+"""Cross-implementation parity for the infrastructure pieces: the Logger's
+model selection / run statistics and the metric functions, against the
+reference's own ``large/logger.py`` / ``large/data_utils.py`` executing
+under ``reference_shim``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from reference_shim import REFERENCE_ROOT, load_reference  # noqa: E402
+
+if not REFERENCE_ROOT.exists():  # pragma: no cover
+    pytest.skip("no reference checkout", allow_module_level=True)
+
+from sgformer_tpu.data import metrics as M  # noqa: E402
+from sgformer_tpu.train.logger import RunLogger  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def ref_logger_mod():
+    return load_reference("large/logger.py", "ref_logger")
+
+
+@pytest.fixture(scope="module")
+def ref_du():
+    return load_reference("large/data_utils.py", "ref_data_utils")
+
+
+@pytest.fixture(scope="module")
+def ref_eval():
+    return load_reference("large/eval.py", "ref_eval")
+
+
+def _histories(runs=3, epochs=25, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(runs):
+        rows = []
+        for _ in range(epochs):
+            rows.append(
+                (
+                    float(rng.uniform(0.3, 1.0)),
+                    float(rng.uniform(0.3, 1.0)),
+                    float(rng.uniform(0.3, 1.0)),
+                    float(rng.uniform(0.1, 2.0)),
+                )
+            )
+        out.append(rows)
+    return out
+
+
+@pytest.mark.parametrize("mode", ["max_acc", "min_loss"])
+def test_logger_selection_parity(ref_logger_mod, mode, capsys):
+    """Model selection (argmax valid / argmin valid-loss) and the final-test
+    aggregation match ``large/logger.py:14-64``."""
+    hist = _histories()
+    ref = ref_logger_mod.Logger(len(hist))
+    ours = RunLogger(len(hist), mode=mode)
+    for r, rows in enumerate(hist):
+        for row in rows:
+            ref.add_result(r, row)
+            ours.add_result(r, row)
+
+    for r, rows in enumerate(hist):
+        ref.print_statistics(r, mode=mode)
+        ref_final_test = float(ref.test)  # result[ind, 2], already ×100
+        s = ours.run_summary(r)
+        np.testing.assert_allclose(100 * s["final_test"], ref_final_test,
+                                   rtol=1e-6)
+        arr = np.asarray(rows)
+        ind = arr[:, 1].argmax() if mode == "max_acc" else arr[:, 3].argmin()
+        assert s["best_epoch"] == ind
+
+    ref.print_statistics(mode=mode)
+    ref_mean_final_test = float(ref.test)
+    capsys.readouterr()
+    stats = ours.statistics()
+    np.testing.assert_allclose(stats["final_test"][0], ref_mean_final_test,
+                               rtol=1e-6)
+    # the reference's ± is torch.std (unbiased); ours matches the printed
+    # mean — compare stds too, converting to the same estimator
+    finals = [100 * ours.run_summary(r)["final_test"] for r in range(len(hist))]
+    ref_std = float(torch.tensor(finals).std())
+    ours_std_biased = stats["final_test"][1]
+    np.testing.assert_allclose(
+        ours_std_biased * np.sqrt(len(hist) / (len(hist) - 1)), ref_std,
+        rtol=1e-5,
+    )
+
+
+def test_eval_acc_parity(ref_du):
+    rng = np.random.default_rng(1)
+    y = rng.integers(0, 5, (40, 1))
+    logits = rng.standard_normal((40, 5)).astype(np.float32)
+    want = ref_du.eval_acc(torch.tensor(y), torch.tensor(logits))
+    got = M.eval_acc(y, logits)
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_eval_rocauc_parity_binary_and_multilabel(ref_du):
+    rng = np.random.default_rng(2)
+    # binary single-column labels → softmax positive-class prob
+    y = rng.integers(0, 2, (60, 1))
+    logits = rng.standard_normal((60, 2)).astype(np.float32)
+    want = ref_du.eval_rocauc(torch.tensor(y), torch.tensor(logits))
+    got = M.eval_rocauc(y, logits)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # multilabel: raw scores per column
+    y2 = rng.integers(0, 2, (60, 4))
+    s2 = rng.standard_normal((60, 4)).astype(np.float32)
+    want2 = ref_du.eval_rocauc(torch.tensor(y2), torch.tensor(s2))
+    got2 = M.eval_rocauc(y2, s2)
+    np.testing.assert_allclose(got2, want2, rtol=1e-6)
+
+
+def test_eval_f1_parity(ref_du):
+    rng = np.random.default_rng(3)
+    y = rng.integers(0, 4, (50, 1))
+    logits = rng.standard_normal((50, 4)).astype(np.float32)
+    want = ref_du.eval_f1(torch.tensor(y), torch.tensor(logits))
+    got = M.eval_f1(y, logits)
+    np.testing.assert_allclose(got, want, rtol=1e-7)
+
+
+def test_streaming_count_parity(ref_eval):
+    """The batched-eval streaming counts (``large/eval.py:120-131``)."""
+    rng = np.random.default_rng(4)
+    y = rng.integers(0, 5, (30, 1))
+    logits = rng.standard_normal((30, 5)).astype(np.float32)
+    total, correct = ref_eval.eval_acc(torch.tensor(y), torch.tensor(logits))
+    g_total, g_correct = M.count_correct(y, logits)
+    assert (g_total, g_correct) == (int(total), int(correct))
+
+
+def test_adj_mul_parity(ref_du):
+    """``adj_mul`` (A_i @ A sparse product, ``large/data_utils.py:255-260``)
+    vs our host-side ``transforms.adj_mul``."""
+    from sgformer_tpu.data.transforms import adj_mul as ours_adj_mul
+
+    rng = np.random.default_rng(5)
+    n = 25
+    ei = np.stack([rng.integers(0, n, 70), rng.integers(0, n, 70)]).astype(
+        np.int64
+    )
+    want = ref_du.adj_mul(torch.tensor(ei), torch.tensor(ei), n).numpy()
+    got = np.asarray(ours_adj_mul(ei, n, power=2))
+    # both return coalesced unique edges; order may differ
+    want_set = set(map(tuple, want.T.tolist()))
+    got_set = set(map(tuple, got.T.tolist()))
+    assert want_set == got_set
