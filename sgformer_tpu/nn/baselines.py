@@ -464,17 +464,28 @@ class GPRGNN(nn.Module):
 
 
 class H2GCN(nn.Module):
-    """medium/models.py:200-340: heterophily GCN — ego/neighbor separation
+    """medium/models.py:229-340: heterophily GCN — ego/neighbor separation
     over the self-loop-free 1-hop (A1) and exact-2-hop (A2) neighborhoods,
     per-round concatenation and a final jump-concat classifier.  A1/A2 are
-    precomputed on the host (``sgformer_tpu.graph.two_hop_edges``; the
+    precomputed on the host (``sgformer_tpu.graph.build_h2_graphs``; the
     reference builds them with torch_sparse.spspmm at models.py:263-311)
-    and passed as extra Graph-like edge sets via ``h2_graphs``."""
+    and passed as extra Graph-like edge sets via ``h2_graphs``.
+
+    Faithful to the reference head: bias-free xavier ``w_embed`` /
+    ``w_classify`` and a **softmax** output (models.py:328-340 — the
+    trainer's log_softmax then runs on probabilities, a reference
+    behavior deliberately preserved).  The reference's A2 CONSTRUCTION is
+    not preserved: ``indicator(A²−A−I)`` subtracts sparse VALUES, so on
+    the self-loop-augmented medium graphs it keeps the diagonal and every
+    1-hop pair (SURVEY.md §8); ``build_h2_graphs`` implements the exact
+    2-hop set from the H2GCN paper instead."""
 
     hidden_channels: int
     out_channels: int
     num_layers: int = 2
     dropout: float = 0.5
+    relu: bool = True
+    softmax_output: bool = True
 
     @nn.compact
     def __call__(
@@ -486,7 +497,14 @@ class H2GCN(nn.Module):
         )
         a1, a2 = h2_graphs
         dropout = Dropout(self.dropout, deterministic=not train)
-        h = nn.relu(TorchLinear(self.hidden_channels, name="embed")(x))
+        w_embed = self.param(
+            "w_embed",
+            nn.initializers.xavier_uniform(),
+            (x.shape[-1], self.hidden_channels),
+        )
+        h = jnp.dot(x, w_embed.astype(x.dtype))
+        if self.relu:
+            h = nn.relu(h)
         outs = [h]
         for _ in range(self.num_layers):
             h = jnp.concatenate(
@@ -495,7 +513,13 @@ class H2GCN(nn.Module):
             outs.append(h)
         z = jnp.concatenate(outs, axis=1)
         z = dropout(z)
-        return TorchLinear(self.out_channels, name="final")(z)
+        w_classify = self.param(
+            "w_classify",
+            nn.initializers.xavier_uniform(),
+            (z.shape[-1], self.out_channels),
+        )
+        logits = jnp.dot(z, w_classify.astype(z.dtype))
+        return jax.nn.softmax(logits) if self.softmax_output else logits
 
 
 class MultiLP:

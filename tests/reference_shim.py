@@ -80,9 +80,18 @@ def _build_torch_sparse():
         out.index_add_(dim, adj.row_idx.long(), msg)
         return out
 
+    def spspmm(indexA, valueA, indexB, valueB, m, k, n, coalesced=False):
+        """``torch_sparse.spspmm``: sparse @ sparse → coalesced COO
+        (H2GCN's A² build, ``medium/models.py:264-276``)."""
+        a = torch.sparse_coo_tensor(indexA, valueA, (m, k))
+        b = torch.sparse_coo_tensor(indexB, valueB, (k, n))
+        c = torch.sparse.mm(a, b).coalesce()
+        return c.indices(), c.values()
+
     mod = types.ModuleType("torch_sparse")
     mod.SparseTensor = SparseTensor
     mod.matmul = matmul
+    mod.spspmm = spspmm
     return mod
 
 

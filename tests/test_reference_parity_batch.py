@@ -1,0 +1,156 @@
+"""Cross-implementation parity for the random-partition batch trainer:
+our ``BatchTrainer`` step pieces vs the reference's ``large/main-batch.py``
+loop (random node partition → relabeled node-induced subgraph → per-batch
+two-group Adam step → full-graph eval), executing the reference's own
+SGFormer with the same injected permutations and initial weights.
+
+This covers the semantics the round-1 VERDICT flagged as highest-risk:
+BatchNorm batch statistics under mini-batching (``large/ours.py:54-58``)
+and intra-batch-edge subgraph construction (``main-batch.py:136-151``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from reference_shim import REFERENCE_ROOT, install_shims, load_reference  # noqa: E402
+
+if not REFERENCE_ROOT.exists():  # pragma: no cover
+    pytest.skip("no reference checkout", allow_module_level=True)
+
+from test_reference_parity import (  # noqa: E402
+    LARGE_KW,
+    copy_sgformer_variables,
+    large_cfg,
+)
+
+from sgformer_tpu.graph import preprocess_graph  # noqa: E402
+from sgformer_tpu.nn import SGFormer  # noqa: E402
+from sgformer_tpu.train.batch_trainer import build_subgraph_batch  # noqa: E402
+from sgformer_tpu.train.optim import dual_weight_decay_adam  # noqa: E402
+
+
+def test_batch_training_trajectory_vs_reference():
+    install_shims()
+    from torch_geometric.utils import subgraph as pyg_subgraph
+
+    ref_large = load_reference("large/ours.py", "ref_large_ours_batch")
+
+    rng = np.random.default_rng(17)
+    n, f, classes = 72, 10, 4
+    edge_index = np.stack(
+        [rng.integers(0, n, 300), rng.integers(0, n, 300)]
+    ).astype(np.int64)
+    g = preprocess_graph(edge_index, n)
+    edges = np.asarray(g.edge_index)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, classes, n).astype(np.int64)
+    train_idx = np.sort(rng.choice(n, 36, replace=False))
+    train_mask = np.zeros(n, dtype=bool)
+    train_mask[train_idx] = True
+
+    lr, trans_wd, gnn_wd = 0.01, 1e-3, 5e-4
+    epochs, batch_size = 3, 24
+    perms = [rng.permutation(n) for _ in range(epochs)]
+
+    tmodel = ref_large.SGFormer(f, 16, classes, **LARGE_KW)
+    cfg = large_cfg(classes=classes)
+    model = SGFormer(cfg)
+    variables = copy_sgformer_variables(tmodel, 2, 2)
+
+    # --- reference loop (main-batch.py:110-151) ---
+    optimizer = torch.optim.Adam(
+        [
+            {"params": tmodel.params1, "weight_decay": trans_wd},
+            {"params": tmodel.params2, "weight_decay": gnn_wd},
+        ],
+        lr=lr,
+    )
+    criterion = torch.nn.NLLLoss()
+    tx_t = torch.tensor(x)
+    tedges = torch.tensor(edges)
+    ty = torch.tensor(y)
+    tmask = torch.tensor(train_mask)
+    t_losses = []
+    num_batch = n // batch_size + (n % batch_size > 0)
+    for epoch in range(epochs):
+        tmodel.train()
+        idx = torch.tensor(perms[epoch])
+        for i in range(num_batch):
+            idx_i = idx[i * batch_size:(i + 1) * batch_size]
+            mask_i = tmask[idx_i]
+            x_i = tx_t[idx_i]
+            ei_i, _ = pyg_subgraph(idx_i, tedges, num_nodes=n,
+                                   relabel_nodes=True)
+            y_i = ty[idx_i]
+            optimizer.zero_grad()
+            out_i = torch.nn.functional.log_softmax(tmodel(x_i, ei_i), dim=1)
+            loss = criterion(out_i[mask_i], y_i[mask_i])
+            loss.backward()
+            optimizer.step()
+            t_losses.append(float(loss.detach()))
+    tmodel.eval()
+    with torch.no_grad():
+        t_final = tmodel(tx_t, tedges).numpy()
+
+    # --- ours: the BatchTrainer step over the SAME batches ---
+    params, stats = variables["params"], variables["batch_stats"]
+    tx = dual_weight_decay_adam(params, lr, trans_wd, gnn_wd)
+    opt_state = tx.init(params)
+    state = {"params": params, "batch_stats": stats}
+
+    import optax
+
+    @jax.jit
+    def step(state, opt_state, x_b, graph_b, label_b, mask_b):
+        def loss_fn(p, bs):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": bs}, x_b, graph_b, train=True,
+                mutable=["batch_stats"],
+            )
+            m = mask_b.astype(jnp.float32)
+            logp = jax.nn.log_softmax(out)
+            per = -jnp.take_along_axis(logp, label_b[:, None], axis=1)[:, 0]
+            return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0), mut[
+                "batch_stats"
+            ]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state["params"], state["batch_stats"]
+        )
+        updates, opt_state = tx.update(grads, opt_state, state["params"])
+        return (
+            {"params": optax.apply_updates(state["params"], updates),
+             "batch_stats": bs},
+            opt_state,
+            loss,
+        )
+
+    j_losses = []
+    for epoch in range(epochs):
+        for i in range(num_batch):
+            idx_i = perms[epoch][i * batch_size:(i + 1) * batch_size]
+            graph_b = build_subgraph_batch(edges, idx_i, n)
+            state, opt_state, loss = step(
+                state,
+                opt_state,
+                jnp.asarray(x[idx_i]),
+                graph_b,
+                jnp.asarray(y[idx_i].astype(np.int32)),
+                jnp.asarray(train_mask[idx_i]),
+            )
+            j_losses.append(float(loss))
+
+    np.testing.assert_allclose(j_losses, t_losses, rtol=3e-3, atol=3e-4)
+    j_final = np.asarray(
+        model.apply(state, jnp.asarray(x), g, train=False)
+    )
+    np.testing.assert_allclose(j_final, t_final, rtol=5e-2, atol=5e-3)
+    agree = (j_final.argmax(1) == t_final.argmax(1)).mean()
+    assert agree >= 0.97, f"prediction agreement {agree}"
