@@ -13,9 +13,14 @@ Deliberate non-replications (SURVEY.md §8): the reference feeds a RANDOM
 ``spatial_pos`` stub because its shortest-path extension is commented out
 (``medium/data_utils.py:268``) — :func:`graphormer_inputs` computes real
 capped BFS distances by default (``spatial='bfs'``) with the random stub
-available for strict behavioral parity; and the reference's [N,N] bias is
-misaligned with its N+1-token sequence — here the graph token gets an
-explicit zero bias row/column.  O(N²) attention: medium-tier graphs only.
+available for strict behavioral parity; and the reference's trimmed
+``GraphNodeFeature`` never concatenates the graph token it defines
+(``graphormer.py:50-73``; the "+1" shape comments are stale), so the
+model it executes is token-free — ``use_graph_token=False`` reproduces
+that exactly (verified against the reference's executing code in
+``tests/test_reference_parity_zoo.py``), True (default) restores the
+upstream token with an explicit zero bias row/column.  O(N²) attention:
+medium-tier graphs only.
 """
 
 from __future__ import annotations
@@ -168,7 +173,7 @@ class GraphormerLayer(nn.Module):
         )
         x = x + drop(attn)
         h = nn.LayerNorm(epsilon=1e-5, name="ffn_ln")(x)
-        h = nn.gelu(TorchLinear(self.ffn_dim, name="fc1")(h))
+        h = nn.gelu(TorchLinear(self.ffn_dim, name="fc1")(h), approximate=False)
         h = drop(h)
         h = TorchLinear(self.dim, name="fc2")(h)
         return x + drop(h)
@@ -215,6 +220,18 @@ class Graphormer(nn.Module):
     qn_block_size: int = 8
     use_edge_bias: bool = False
     use_virtual_distance: bool = False
+    # The reference's trimmed GraphNodeFeature never concatenates its
+    # graph_token into the sequence (graphormer.py:50-73 returns node
+    # features only; the "+1" shape comments are stale fairseq remnants),
+    # so the model it EXECUTES is token-free.  True (default) restores the
+    # upstream Graphormer semantics; False reproduces the reference
+    # exactly (tests/test_reference_parity_zoo.py).
+    use_graph_token: bool = True
+    # The reference's load_softmax head (embed_out + learned bias,
+    # graphormer.py:995-1003) only exists when is_train=False and is
+    # shape-broken there (fc(embed_dim->C) applied to a [.., C] tensor) —
+    # its working head is ln(gelu(transform)) -> fc.  Off by default.
+    use_embed_out: bool = False
 
     @nn.compact
     def __call__(self, x, graph=None, *, train: bool = False, node_mask=None,
@@ -235,11 +252,14 @@ class Graphormer(nn.Module):
         h = h + nn.Embed(self.num_degree, dim, name="out_degree_encoder")(
             jnp.clip(jnp.asarray(inputs["out_degree"]), 0, self.num_degree - 1)
         )
-        token = self.param(
-            "graph_token", nn.initializers.normal(0.02), (1, dim)
-        )
-        tok = jnp.broadcast_to(token.astype(h.dtype), (*h.shape[:-2], 1, dim))
-        h = jnp.concatenate([tok, h], axis=-2)  # [..., N+1, dim]
+        if self.use_graph_token:
+            token = self.param(
+                "graph_token", nn.initializers.normal(0.02), (1, dim)
+            )
+            tok = jnp.broadcast_to(
+                token.astype(h.dtype), (*h.shape[:-2], 1, dim)
+            )
+            h = jnp.concatenate([tok, h], axis=-2)  # [..., N+1, dim]
 
         # per-head spatial bias, zero row/col for the graph token
         sp = nn.Embed(self.num_spatial, self.num_heads, name="spatial_pos_encoder")(
@@ -253,9 +273,11 @@ class Graphormer(nn.Module):
                          self.num_edges)
             )  # [N, N, Fe, H]
             bias = bias + jnp.moveaxis(ed.mean(axis=-2), -1, -3)
-        pad_spec = [(0, 0)] * (bias.ndim - 2) + [(1, 0), (1, 0)]
-        bias = jnp.pad(bias, pad_spec)
+        if self.use_graph_token:
+            pad_spec = [(0, 0)] * (bias.ndim - 2) + [(1, 0), (1, 0)]
+            bias = jnp.pad(bias, pad_spec)
         if self.use_virtual_distance:
+            assert self.use_graph_token, "virtual distance needs the token"
             t = self.param(
                 "graph_token_virtual_distance",
                 nn.initializers.normal(0.02), (1, self.num_heads),
@@ -283,13 +305,20 @@ class Graphormer(nn.Module):
 
         # output head (graphormer.py:1018-1041): LN(gelu(Wx)) → vocab
         # projection + learned scalar bias → fc
-        h = h[..., 1:, :]  # drop graph token
+        if self.use_graph_token:
+            h = h[..., 1:, :]  # drop graph token
         h = nn.LayerNorm(epsilon=1e-5, name="head_ln")(
-            nn.gelu(TorchLinear(dim, name="lm_head_transform")(h))
+            nn.gelu(TorchLinear(dim, name="lm_head_transform")(h),
+                    approximate=False)
         )
-        h = TorchLinear(self.out_channels, use_bias=False, name="embed_out")(h)
-        lm_bias = self.param("lm_output_learned_bias", nn.initializers.zeros, (1,))
-        h = h + lm_bias
+        if self.use_embed_out:
+            h = TorchLinear(
+                self.out_channels, use_bias=False, name="embed_out"
+            )(h)
+            lm_bias = self.param(
+                "lm_output_learned_bias", nn.initializers.zeros, (1,)
+            )
+            h = h + lm_bias
         return TorchLinear(self.out_channels, name="fc")(h)
 
 
