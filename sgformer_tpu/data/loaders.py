@@ -250,15 +250,21 @@ def load_mat_graph(path: str, name: str) -> NCDataset:
 
     mat = sio.loadmat(path)
     ds = NCDataset(name)
-    if "A" in mat:  # fb100/deezer style: adjacency + features + label
-        a = sp.csr_matrix(mat["A"]).tocoo()
+    if "A" in mat or "homo" in mat:
+        # deezer style: A + features + label (dataset.py:242-260);
+        # yelp-chi style: homo adjacency + features + label
+        # (dataset.py:446-466)
+        a = sp.csr_matrix(mat["A"] if "A" in mat else mat["homo"]).tocoo()
         edge_index = np.stack([a.row, a.col]).astype(np.int64)
         feat = mat.get("features")
         label = mat.get("label", mat.get("local_info"))
-    else:  # pokec style: edge_index + node_feat + label arrays
+    else:
+        # pokec / snap-patents style: edge_index + node_feat arrays
+        # (dataset.py:371-397, 419-444); snap-patents carries grant
+        # 'years' instead of a label column
         edge_index = np.asarray(mat["edge_index"], dtype=np.int64)
         feat = mat["node_feat"]
-        label = mat["label"]
+        label = mat["label"] if "label" in mat else mat["years"]
     feat = np.asarray(
         feat.todense() if hasattr(feat, "todense") else feat, dtype=np.float32
     )
@@ -303,7 +309,13 @@ def load_fb100(data_dir: str, filename: str = "Penn94") -> NCDataset:
     cols = []
     for c in range(fv.shape[1]):
         classes = np.unique(pool[:, c])
-        onehot = (fv[:, c:c + 1] == classes[None, :]).astype(np.float32)
+        if len(classes) == 2:
+            # sklearn label_binarize's binary special case (the reference
+            # encoder, large/dataset.py:225-230): ONE 0/1 column marking
+            # the larger class — not a two-column one-hot
+            onehot = (fv[:, c:c + 1] == classes[1]).astype(np.float32)
+        else:
+            onehot = (fv[:, c:c + 1] == classes[None, :]).astype(np.float32)
         cols.append(onehot)
     features = np.hstack(cols)
 
@@ -469,12 +481,26 @@ def load_dataset(data_dir: str, name: str, sub_dataset: str = "") -> NCDataset:
             if candidate.exists():
                 return load_npz_graph(str(candidate), name)
         raise FileNotFoundError(f"{name}: no npz found under {data_dir}")
-    if name in _MAT_NAMES or (name == "fb100" and sub_dataset):
-        fname = sub_dataset if name == "fb100" else name.replace("-", "_")
-        for candidate in (
+    if name == "fb100":
+        # dedicated loader: gender labels + pooled-vocabulary one-hot
+        # features with sklearn's binary special case (dataset.py:201-240)
+        return load_fb100(data_dir, sub_dataset or "Penn94")
+    if name in _MAT_NAMES:
+        fname = name.replace("-", "_")
+        candidates = [
             Path(data_dir) / f"{fname}.mat",
             Path(data_dir) / name / f"{fname}.mat",
-        ):
+        ]
+        if name == "deezer-europe":
+            # the reference stores it as deezer/deezer-europe.mat
+            # (dataset.py:246)
+            candidates += [
+                Path(data_dir) / "deezer" / "deezer-europe.mat",
+                Path(data_dir) / "deezer-europe.mat",
+            ]
+        if name == "pokec":
+            candidates.append(Path(data_dir) / "pokec" / "pokec.mat")
+        for candidate in candidates:
             if candidate.exists():
                 return load_mat_graph(str(candidate), name)
         raise FileNotFoundError(f"{name}: no .mat found under {data_dir}")
@@ -500,7 +526,11 @@ def load_dataset(data_dir: str, name: str, sub_dataset: str = "") -> NCDataset:
     if name == "yelp-chi":
         return _load_mat_any(data_dir, "YelpChi", name)
     if name == "twitch-e":
+        # raw musae csv/json files, as the reference reads them
+        # (dataset.py:140-200)
         lang = sub_dataset or "DE"
+        if (Path(data_dir) / "twitch" / lang).exists():
+            return load_twitch(data_dir, lang)
         return _load_mat_any(data_dir, f"twitch_{lang}", name)
     if name == "ogbn-papers100M-sub":
         return _load_papers100m_sub(data_dir)

@@ -135,12 +135,25 @@ def _build_torch_geometric():
             ei = relabel[ei]
         return ei, (edge_attr[emask] if edge_attr is not None else None)
 
+    def to_undirected(edge_index, num_nodes=None):
+        """PyG ``to_undirected``: symmetrize + coalesce (sorted unique)."""
+        both = torch.cat([edge_index, edge_index.flip(0)], dim=1)
+        n = int(num_nodes) if num_nodes is not None else int(both.max()) + 1
+        key = both[0].long() * n + both[1].long()
+        uniq = torch.unique(key, sorted=True)
+        return torch.stack([uniq // n, uniq % n]).to(edge_index.dtype)
+
+    def k_hop_subgraph(*a, **k):  # pragma: no cover - name-only import
+        raise RuntimeError("k_hop_subgraph shim is import-only")
+
     pkg = types.ModuleType("torch_geometric")
     utils = types.ModuleType("torch_geometric.utils")
     utils.degree = degree
     utils.remove_self_loops = remove_self_loops
     utils.add_self_loops = add_self_loops
     utils.subgraph = subgraph
+    utils.to_undirected = to_undirected
+    utils.k_hop_subgraph = k_hop_subgraph
     pkg.utils = utils
     return pkg, utils
 
