@@ -1,0 +1,105 @@
+"""End-to-end CONVERGENCE parity: train the reference's own SGFormer and
+ours with the full recipe (dropout on, BatchNorm training, best-val model
+selection) on the same synthetic dataset and compare the final test
+accuracy.  Dropout RNG streams differ between torch and jax, so this is a
+statistical check (averaged over runs, tolerance in accuracy points) —
+the bitwise trajectory parity lives in ``test_reference_parity.py``; this
+test closes the loop on the full training PROTOCOL (epoch loop, eval
+cadence, selection) with stochastic regularization active.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+
+torch = pytest.importorskip("torch")
+
+from reference_shim import REFERENCE_ROOT, load_reference  # noqa: E402
+
+if not REFERENCE_ROOT.exists():  # pragma: no cover
+    pytest.skip("no reference checkout", allow_module_level=True)
+
+from sgformer_tpu.data.loaders import synthetic_dataset  # noqa: E402
+from sgformer_tpu.graph import preprocess_graph  # noqa: E402
+from sgformer_tpu.nn import SGFormer, SGFormerConfig  # noqa: E402
+from sgformer_tpu.train import TrainConfig, Trainer  # noqa: E402
+
+
+def test_full_recipe_convergence_matches_reference():
+    ref_large = load_reference("large/ours.py", "ref_large_ours_conv")
+
+    # a non-trivial synthetic: enough feature noise that accuracy is
+    # meaningfully below 100% and regularization matters
+    ds = synthetic_dataset(
+        num_nodes=800, num_edges=4000, num_features=24, num_classes=5,
+        seed=3, feature_scale=0.35, homophily=0.6,
+    )
+    n = ds.graph["num_nodes"]
+    g = preprocess_graph(ds.graph["edge_index"], n)
+    x = np.asarray(ds.graph["node_feat"], dtype=np.float32)
+    y = np.asarray(ds.label).reshape(-1).astype(np.int64)
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+
+    hidden, classes = 32, 5
+    lr, trans_wd, gnn_wd, dropout = 0.01, 1e-3, 1e-3, 0.5
+    epochs, runs = 120, 2
+    kw = dict(
+        trans_num_layers=1, trans_num_heads=1, trans_dropout=dropout,
+        gnn_num_layers=2, gnn_dropout=dropout,
+    )
+
+    # --- reference loop (large/main.py:107-156) ---
+    tx_t, tedges = torch.tensor(x), torch.tensor(np.asarray(g.edge_index))
+    ty = torch.tensor(y)
+    tr_i = torch.tensor(split["train"].astype(np.int64))
+    va_i = torch.tensor(split["valid"].astype(np.int64))
+    te_i = torch.tensor(split["test"].astype(np.int64))
+    criterion = torch.nn.NLLLoss()
+    torch.manual_seed(123)
+    ref_accs = []
+    for _ in range(runs):
+        tm = ref_large.SGFormer(x.shape[1], hidden, classes, **kw)
+        opt = torch.optim.Adam(
+            [
+                {"params": tm.params1, "weight_decay": trans_wd},
+                {"params": tm.params2, "weight_decay": gnn_wd},
+            ],
+            lr=lr,
+        )
+        best_val, best_test = -1.0, 0.0
+        for _ in range(epochs):
+            tm.train()
+            opt.zero_grad()
+            out = torch.nn.functional.log_softmax(tm(tx_t, tedges), dim=1)
+            loss = criterion(out[tr_i], ty[tr_i])
+            loss.backward()
+            opt.step()
+            tm.eval()
+            with torch.no_grad():
+                pred = tm(tx_t, tedges).argmax(1)
+            val = float((pred[va_i] == ty[va_i]).float().mean())
+            if val >= best_val:
+                best_val = val
+                best_test = float((pred[te_i] == ty[te_i]).float().mean())
+        ref_accs.append(best_test)
+
+    # --- ours: the production Trainer with the same recipe ---
+    cfg = SGFormerConfig.large(hidden, classes, **kw)
+    trainer = Trainer(
+        SGFormer(cfg), g, x, y.reshape(-1, 1),
+        TrainConfig(
+            lr=lr, trans_weight_decay=trans_wd, gnn_weight_decay=gnn_wd,
+            epochs=epochs, eval_step=1, runs=runs, seed=7,
+        ),
+    )
+    logger = trainer.fit([split] * runs)
+    ours = [logger.run_summary(r)["final_test"] for r in range(runs)]
+
+    ref_mean, ours_mean = float(np.mean(ref_accs)), float(np.mean(ours))
+    assert abs(ref_mean - ours_mean) < 0.04, (
+        f"final test accuracy diverged: reference {ref_mean:.3f} "
+        f"(runs {ref_accs}) vs ours {ours_mean:.3f} (runs {ours})"
+    )
