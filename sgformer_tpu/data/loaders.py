@@ -188,12 +188,16 @@ def load_ogb(data_dir: str, name: str) -> NCDataset:
 # ---------------------------------------------------------------------------
 
 
-def load_npz_graph(path: str, name: str, undirected_hint: bool = True) -> NCDataset:
+def load_npz_graph(path: str, name: str, undirected_hint: bool = True,
+                   row_normalize: bool = False) -> NCDataset:
     """Generic npz loader covering the geom-gcn planetoid exports, the
     heterophilous-graph suite, and the filtered wiki datasets
     (``medium/dataset.py:214-305``).  Expects keys
     ``node_features|features|x``, ``edges|edge_index``, ``node_labels|y|label``
-    and optional ``train_masks/val_masks/test_masks``."""
+    and optional ``train_masks/val_masks/test_masks``.  ``row_normalize``
+    applies the reference's ``normalize_feat`` row normalization — the
+    wiki-filtered loader does this by default
+    (``medium/dataset.py:241-250``)."""
     z = np.load(path, allow_pickle=True)
 
     def pick(*keys):
@@ -209,6 +213,13 @@ def load_npz_graph(path: str, name: str, undirected_hint: bool = True) -> NCData
         raise ValueError(f"{path}: missing keys, found {list(z.keys())}")
     if edges.shape[0] != 2:
         edges = edges.T
+    if row_normalize:
+        feat = feat.astype(np.float64)
+        rowsum = feat.sum(axis=1)
+        with np.errstate(divide="ignore"):
+            r_inv = 1.0 / rowsum
+        r_inv[~np.isfinite(r_inv)] = 0.0
+        feat = feat * r_inv[:, None]
     ds = NCDataset(name)
     n = feat.shape[0]
     ds.graph = {
@@ -400,13 +411,19 @@ def load_geom_gcn(data_dir: str, name: str) -> NCDataset:
             src.append(int(a))
             dst.append(int(b))
     n = max(feats) + 1
-    x = np.stack([feats[i] for i in range(n)])
+    x = np.stack([feats[i] for i in range(n)]).astype(np.float64)
+    # the reference ROW-NORMALIZES features (preprocess_features with a
+    # zero-rowsum → 1 guard, medium/dataset.py:214-224) and returns the
+    # adjacency PLUS the identity (adj + eye, medium/dataset.py:206-208)
+    rowsum = x.sum(axis=1)
+    rowsum = np.where(rowsum == 0, 1.0, rowsum)
+    x = (x / rowsum[:, None]).astype(np.float32)
     y = np.asarray([labels[i] for i in range(n)], dtype=np.int64)
+    src = np.concatenate([np.asarray(src), np.arange(n)])
+    dst = np.concatenate([np.asarray(dst), np.arange(n)])
     ds = NCDataset(name)
     ds.graph = {
-        "edge_index": np.stack(
-            [np.asarray(src), np.asarray(dst)]
-        ).astype(np.int64),
+        "edge_index": np.stack([src, dst]).astype(np.int64),
         "node_feat": x,
         "edge_feat": None,
         "num_nodes": n,
@@ -479,7 +496,16 @@ def load_dataset(data_dir: str, name: str, sub_dataset: str = "") -> NCDataset:
             Path(data_dir) / "wiki_new" / name / f"{name}_filtered.npz",
         ):
             if candidate.exists():
-                return load_npz_graph(str(candidate), name)
+                # the wiki-filtered loader row-normalizes features
+                # (medium/dataset.py:241-250); the heterophilous one
+                # doesn't (medium/dataset.py:269-305)
+                return load_npz_graph(
+                    str(candidate), name,
+                    row_normalize="wiki_new" in str(candidate),
+                )
+        # geom-gcn raw txt fallback (film; medium/dataset.py:153-213)
+        if (Path(data_dir) / "geom-gcn" / name).exists():
+            return load_geom_gcn(data_dir, name)
         raise FileNotFoundError(f"{name}: no npz found under {data_dir}")
     if name == "fb100":
         # dedicated loader: gender labels + pooled-vocabulary one-hot

@@ -146,6 +146,15 @@ def _build_torch_geometric():
     def k_hop_subgraph(*a, **k):  # pragma: no cover - name-only import
         raise RuntimeError("k_hop_subgraph shim is import-only")
 
+    def to_dense_adj(edge_index, batch=None, edge_attr=None, max_num_nodes=None):
+        n = (int(max_num_nodes) if max_num_nodes is not None
+             else int(edge_index.max()) + 1)
+        adj = torch.zeros((n, n))
+        adj[edge_index[0].long(), edge_index[1].long()] = (
+            1.0 if edge_attr is None else edge_attr.float()
+        )
+        return adj.unsqueeze(0)
+
     pkg = types.ModuleType("torch_geometric")
     utils = types.ModuleType("torch_geometric.utils")
     utils.degree = degree
@@ -154,6 +163,7 @@ def _build_torch_geometric():
     utils.subgraph = subgraph
     utils.to_undirected = to_undirected
     utils.k_hop_subgraph = k_hop_subgraph
+    utils.to_dense_adj = to_dense_adj
     pkg.utils = utils
     return pkg, utils
 

@@ -103,7 +103,12 @@ def test_geom_gcn_txt_film(tmp_path):
     ds = load_geom_gcn(str(tmp_path), "film")
     assert ds.num_nodes == n
     assert ds.graph["node_feat"].shape == (n, 932)
-    assert ds.graph["node_feat"][3, 3] == 1.0 and ds.graph["node_feat"][3, 4] == 1.0
+    # features are ROW-NORMALIZED like the reference's preprocess_features
+    # (medium/dataset.py:214-224): each row here has two one-hot entries
+    assert ds.graph["node_feat"][3, 3] == 0.5 and ds.graph["node_feat"][3, 4] == 0.5
+    # the edge list carries the adj+eye self-loops (medium/dataset.py:206)
+    src, dst = ds.graph["edge_index"]
+    assert ((src == dst).sum()) == n
     assert ds.load_fixed_splits is not None
 
 
