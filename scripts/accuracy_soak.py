@@ -45,11 +45,13 @@ def main():
                               valid_num=25_000, test_num=50_000,
                               rng=np.random.default_rng(42))
 
-    def run(label, spmm_mode, chunk_dtype, compute_dtype):
+    def run(label, spmm_mode, chunk_dtype, compute_dtype, **geo):
         t0 = time.time()
         graph = preprocess_graph(ds.graph["edge_index"], N,
                                  with_chunks=True, spmm_mode=spmm_mode,
-                                 chunk_dtype=chunk_dtype)
+                                 chunk_dtype=chunk_dtype,
+                                 slab_rows=geo.pop("slab_rows", 24576),
+                                 slab_geometry=geo or None)
         cfg = SGFormerConfig.large(
             256, 40, trans_num_layers=1, gnn_num_layers=3,
             graph_weight=0.5, compute_dtype=compute_dtype,
@@ -68,10 +70,16 @@ def main():
               f"({time.time()-t0:.0f}s incl compile)", flush=True)
         return test.mean()
 
+    import sys
+
     a = run("A f32 + chunk plans (exact)", "chunks", "f32", "f32")
     b = run("B bf16 + ssel slabs (production)", "ssel", "bf16", "bf16")
     print(f"\nfast-path drift: {100*(b-a):+.2f}pp "
           f"(production minus exact)", flush=True)
+    if "--q8" in sys.argv:
+        c = run("C int8 slabs R49152 (opt-in)", "ssel", "bf16", "bf16",
+                slab_dtype="int8", slab_rows=49152)
+        print(f"q8 drift: {100*(c-a):+.2f}pp (int8 minus exact)", flush=True)
 
 
 if __name__ == "__main__":

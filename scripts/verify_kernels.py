@@ -148,6 +148,23 @@ def main():
     ))(x, g_sep.chunks)
     check("sep_spmm grad bf16", g_got, g_want, 3e-2)
 
+    # ---- int8 slab (q8) ssel SpMM: per-pass absmax quantization ----
+    g_q8 = preprocess_graph(ei, N, with_chunks=True, spmm_mode="ssel",
+                            chunk_dtype="bf16", slab_rows=2048,
+                            slab_geometry={"slab_dtype": "int8"})
+    assert g_q8.chunks.slab_dtype == "int8", "int8 slab mode not engaged"
+    got = jax.jit(
+        lambda xx, ch: slab_spmm(xx, ch, compute_dtype=jnp.bfloat16)
+    )(x, g_q8.chunks)
+    check("q8_spmm fwd bf16", got, oracle_sep(xx=x), 4e-2)
+    g_got = jax.jit(jax.grad(
+        lambda xx, ch: jnp.sum(
+            slab_spmm(xx, ch, compute_dtype=jnp.bfloat16) * co
+        ),
+        argnums=0,
+    ))(x, g_q8.chunks)
+    check("q8_spmm grad bf16", g_got, g_want, 4e-2)
+
     # ---- hub-resident scratch tail (power-law mode), f32 exact ----
     g_hub = preprocess_graph(ei, N, with_chunks=True, spmm_mode="ssel",
                              chunk_dtype="f32", slab_rows=2048,

@@ -124,13 +124,17 @@ def main(argv=None):
     if args.trainer in ("full", "sharded"):
         import jax
 
+        geo = {}
+        if args.hub_rows:
+            geo["hub_rows"] = args.hub_rows
+        if getattr(args, "slab_int8", False):
+            geo["slab_dtype"] = "int8"
         graph = preprocess_graph(
             ds.graph["edge_index"], n, undirected=undirected,
             with_pyg_norm=needs_pyg, with_chunks=args.use_pallas,
             chunk_dtype=args.chunk_dtype, spmm_mode=args.spmm_mode,
-            slab_geometry=(
-                {"hub_rows": args.hub_rows} if args.hub_rows else None
-            ),
+            slab_rows=(49152 if getattr(args, "slab_int8", False) else 24576),
+            slab_geometry=geo or None,
             chunk_interpret=jax.default_backend() not in ("tpu",),
         )
         model_kwargs = {}

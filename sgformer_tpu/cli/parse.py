@@ -107,6 +107,14 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
                         help="pin the top-K remote sources in a permanent "
                              "VMEM scratch tail (ssel mode; recommended "
                              "~6144 for power-law graphs like arxiv/pokec)")
+    parser.add_argument("--slab_int8", action="store_true",
+                        help="int8 slab mode (ssel): per-pass absmax "
+                             "quantization + int8 MXU dots, doubling the "
+                             "VMEM resident range to 49152 rows — wins on "
+                             "graphs much larger than the resident range "
+                             "(+12.5%% at 400K nodes, BENCH.md); perturbs "
+                             "activations AND gradients, keep the default "
+                             "for exactness-sensitive runs")
     # checkpointing (100M/parse.py flags)
     parser.add_argument("--save_model", action="store_true")
     parser.add_argument("--use_pretrained", action="store_true")

@@ -181,20 +181,30 @@ def _ssel_kernel(
         if compute_dtype == jnp.float32
         else jax.lax.Precision.DEFAULT
     )
+    slab_int8 = slab_scratch.dtype == jnp.int8
     ssrc = ssrc_ref[0]  # [Q·C, B] weighted (bf16) or 0/1 (int8) src one-hot
-    if jnp.issubdtype(ssrc.dtype, jnp.integer):
+    if jnp.issubdtype(ssrc.dtype, jnp.integer) and not slab_int8:
         # sep mode: one whole-block int8 -> compute-dtype convert per step
         # (per-q i8 slices would be 32-sublane misaligned at C=16)
         ssrc = ssrc.astype(compute_dtype)
     for q in range(Q):
         sub = sub_ref[0, 0, q]  # SMEM scalar: sub-block within slab
         blk = slab_scratch[pl.ds(pl.multiple_of(sub * B, B), B), :]
-        m = jax.lax.dot_general(
-            ssrc[q * C:(q + 1) * C, :].astype(compute_dtype),
-            blk.astype(compute_dtype),
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # [C, F] f32
+        if slab_int8:
+            # int8 x int8 -> int32 on the MXU (0/1 selectors, quantized
+            # rows; exact integer accumulation, probed bit-exact on v5e)
+            m = jax.lax.dot_general(
+                ssrc[q * C:(q + 1) * C, :], blk,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # [C, F] i32
+        else:
+            m = jax.lax.dot_general(
+                ssrc[q * C:(q + 1) * C, :].astype(compute_dtype),
+                blk.astype(compute_dtype),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=precision,
+            )  # [C, F] f32
         msgs_scratch[q * C:(q + 1) * C, :] = m.astype(compute_dtype)
     acc = jax.lax.dot_general(
         sdst_ref[0].astype(compute_dtype), msgs_scratch[:],
@@ -340,8 +350,17 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret,
 
 def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
                 interpret):
+    int8_slab = plan.slab_dtype == "int8"
+    if int8_slab and x.shape[1] % 128 != 0:
+        raise ValueError(
+            f"int8 slab mode needs the feature dim to be a multiple of "
+            f"128 (Mosaic int8 VMEM slices are (8,128)-tiled with (4,1) "
+            f"packing), got {x.shape[1]}; pad the features or use the "
+            f"bf16 slab"
+        )
+    stor_itemsize = 1 if int8_slab else jnp.dtype(compute_dtype).itemsize
     slab_mb = ((side.slab_rows + side.hub_rows) * x.shape[1]
-               * jnp.dtype(compute_dtype).itemsize) / 2**20
+               * stor_itemsize) / 2**20
     if slab_mb > 13.0:
         raise ValueError(
             f"slab scratch {slab_mb:.1f} MB won't fit VMEM: rebuild the "
@@ -358,6 +377,23 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
     xs = xc
     if plan.pre_scale is not None:
         xs = xc * plan.pre_scale[:, None].astype(compute_dtype)
+    if int8_slab:
+        # per-pass absmax quantization: the local path aggregates
+        # round(xs/s*127) rows as exact int32 sums; the inverse scale is
+        # folded into the f32 post-scale below.  The transpose side runs
+        # the same code on the COTANGENT — gradients are quantized too,
+        # which is why this mode is opt-in (accuracy soak in BENCH.md).
+        s = jnp.maximum(
+            jnp.max(jnp.abs(xs.astype(jnp.float32))), jnp.float32(1e-30)
+        )
+        xq = jnp.clip(
+            jnp.round(xs.astype(jnp.float32) * (127.0 / s)), -127.0, 127.0
+        ).astype(jnp.int8)
+        local_x = xq
+        dequant = s / 127.0
+    else:
+        local_x = xs
+        dequant = None
     rows_out = side.num_rows_out
     if side.remote is not None:
         # the remote partial is produced directly in the compute dtype —
@@ -371,16 +407,23 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
             prev = prev[:rows_out]
         elif prev.shape[0] < rows_out:
             prev = jnp.pad(prev, ((0, rows_out - prev.shape[0]), (0, 0)))
+        if int8_slab:
+            # the kernel accumulates in quantized units; bring the (true-
+            # unit) remote partial into them so the final dequant is one
+            # scalar multiply on the output
+            prev = (prev.astype(jnp.float32) / dequant).astype(compute_dtype)
     else:
         prev = jnp.zeros((rows_out, x.shape[1]), compute_dtype)
     hub_x = None
     if side.hub_ids is not None:
         # the hub block: ONE gather of hub_rows source rows per pass
         # (hub_rows descriptors instead of one per hub edge)
-        hub_x = xs.at[side.hub_ids].get(mode="promise_in_bounds")
-    out = _apply_local(xs, prev, side, compute_dtype, interpret,
+        hub_x = local_x.at[side.hub_ids].get(mode="promise_in_bounds")
+    out = _apply_local(local_x, prev, side, compute_dtype, interpret,
                        hub_x=hub_x)[:n_pad]
     out = out.astype(jnp.float32)
+    if dequant is not None:
+        out = out * dequant
     if plan.pre_scale is not None:
         # sep mode: the rs[dst] factor is constant per output row, so it is
         # applied HERE (f32, fuses with the self-loop add) instead of being

@@ -186,7 +186,7 @@ class SlabPlanSide:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["fwd", "bwd", "w_self", "pre_scale"],
-    meta_fields=["num_nodes", "n_pad"],
+    meta_fields=["num_nodes", "n_pad", "slab_dtype"],
 )
 @dataclasses.dataclass(frozen=True)
 class SlabSpMM:
@@ -209,6 +209,15 @@ class SlabSpMM:
     num_nodes: int
     n_pad: int
     pre_scale: Optional[jax.Array] = None
+    # 'compute' (default): the VMEM slab holds compute-dtype rows.
+    # 'int8': the kernel input is quantized per pass (absmax/127), the
+    # slab + hub scratch hold int8 rows (HALF/QUARTER the VMEM of
+    # bf16/f32 → slab_rows can double within the 13 MB cap), and the
+    # local src dots run int8 x int8 -> int32 on the MXU.  Opt-in: per-
+    # pass quantization perturbs activations AND cotangents (the
+    # transpose side quantizes gradients), so the bf16 default path is
+    # never silently altered.  Requires sep (int8-selector) mode.
+    slab_dtype: str = "compute"
 
 
 def _build_side(
@@ -512,6 +521,7 @@ def build_slabs(
     symmetric: Optional[bool] = None,
     sep_rs: Optional[np.ndarray] = None,
     hub_rows: int = 0,
+    slab_dtype: str = "compute",
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
     into the packed (clustered) node order — see
@@ -563,6 +573,13 @@ def build_slabs(
               remote_window_rows=remote_window_rows,
               remote_chunk_edges=remote_chunk_edges, stream_sel=stream_sel,
               sep_rs=sep_rs, hub_rows=hub_rows)
+    if slab_dtype not in ("compute", "int8"):
+        raise ValueError(f"slab_dtype must be 'compute'|'int8', got {slab_dtype!r}")
+    if slab_dtype == "int8" and sep_rs is None:
+        raise ValueError(
+            "slab_dtype='int8' needs separable (sep_rs) weights: the src "
+            "selectors must be 0/1 int8 for the int8 MXU dots"
+        )
     fwd = _build_side(src, dst, weight, n_pad, **kw)
     if symmetric is None:
         symmetric = _is_symmetric(src, dst, weight, num_nodes)
@@ -571,6 +588,7 @@ def build_slabs(
         fwd=fwd, bwd=bwd, w_self=jnp.asarray(w_self),
         num_nodes=int(num_nodes), n_pad=int(n_pad),
         pre_scale=None if sep_rs is None else jnp.asarray(sep_rs),
+        slab_dtype=slab_dtype,
     )
 
 

@@ -560,3 +560,98 @@ def test_slab_streamed_remote_matches(problem, monkeypatch):
         x, plan, compute_dtype=jnp.float32, interpret=True)
         * jnp.asarray(g)).sum())(jnp.asarray(x)))
     np.testing.assert_allclose(got_dx, want_dx, rtol=2e-6, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# int8 slab mode (opt-in): per-pass absmax quantization, int8 MXU dots
+# ---------------------------------------------------------------------------
+
+
+def _sep_plan(problem, slab_dtype="int8", **extra):
+    s2, d2, w2, n, _, _ = problem
+    from sgformer_tpu.graph import gcn_norm_rs
+
+    rs = gcn_norm_rs(d2, n)
+    return build_slabs(
+        s2, d2, w2, n, stream_sel="bf16", sep_rs=rs,
+        slab_dtype=slab_dtype, **PARAMS, **extra,
+    )
+
+
+def test_slab_int8_requires_sep(problem):
+    s2, d2, w2, n, _, _ = problem
+    with pytest.raises(ValueError, match="sep_rs"):
+        build_slabs(s2, d2, w2, n, slab_dtype="int8", **PARAMS)
+
+
+def test_slab_int8_fwd_exact_on_integer_features():
+    """With unit edge weights (rs = 1) and integer features whose absmax is
+    planted at 127, the quantization is the identity and the int8 path is
+    EXACT integer arithmetic end to end."""
+    rng = np.random.default_rng(3)
+    n, e = 500, 2600
+    s = rng.integers(0, n, e)
+    d = rng.integers(0, n, e)
+    order = np.argsort(d, kind="stable")
+    s, d = s[order], d[order]
+    w = np.ones(e, dtype=np.float32)
+    plan = build_slabs(
+        s, d, w, n, stream_sel="bf16", sep_rs=np.ones(n, np.float32),
+        slab_dtype="int8", **PARAMS,
+    )
+    x = rng.integers(-3, 4, (n, 32)).astype(np.float32)
+    x[0, 0] = 127.0  # plants absmax -> scale exactly 1
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s), jnp.asarray(d),
+                           jnp.asarray(w), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.bfloat16, interpret=True))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_slab_int8_fwd_and_grad_close(problem):
+    """Gaussian features: the int8 path matches the f32 oracle within the
+    per-pass quantization tolerance, forward AND gradient (the transpose
+    side quantizes the cotangent)."""
+    s2, d2, w2, n, _, x = problem
+    plan = _sep_plan(problem)
+    xj = jnp.asarray(x)
+    want = np.asarray(spmm(xj, jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(xj, plan, compute_dtype=jnp.bfloat16,
+                               interpret=True))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2e-2
+
+    g = jnp.asarray(
+        np.random.default_rng(5).standard_normal(want.shape).astype(np.float32)
+    )
+
+    def loss(xx, p):
+        return jnp.vdot(
+            slab_spmm(xx, p, compute_dtype=jnp.bfloat16,
+                      interpret=True).astype(jnp.float32), g)
+
+    def loss_ref(xx):
+        return jnp.vdot(
+            spmm(xx, jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2),
+                 n).astype(jnp.float32), g)
+
+    gx = np.asarray(jax.grad(loss)(xj, plan))
+    gx_ref = np.asarray(jax.grad(loss_ref)(xj))
+    gscale = np.abs(gx_ref).max()
+    assert np.abs(gx - gx_ref).max() / gscale < 2e-2
+
+
+def test_slab_int8_under_jit(problem):
+    s2, d2, w2, n, _, x = problem
+    plan = _sep_plan(problem)
+    xj = jnp.asarray(x)
+
+    @jax.jit
+    def f(z, p):
+        return slab_spmm(z, p, compute_dtype=jnp.bfloat16, interpret=True)
+
+    got = np.asarray(f(xj, plan))
+    want = np.asarray(spmm(xj, jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
