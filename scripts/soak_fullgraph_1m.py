@@ -36,9 +36,15 @@ def main():
                            num_classes=40, seed=0)
     print(f"synth: {time.time()-t0:.0f}s", flush=True)
 
+    import sys
+
+    q8 = "--q8" in sys.argv
     t0 = time.time()
-    graph = preprocess_graph(ds.graph["edge_index"], N, with_chunks=True,
-                             spmm_mode="ssel")
+    graph = preprocess_graph(
+        ds.graph["edge_index"], N, with_chunks=True, spmm_mode="ssel",
+        slab_rows=(49152 if q8 else 24576),
+        slab_geometry=({"slab_dtype": "int8"} if q8 else None),
+    )
     rem = getattr(graph.chunks.fwd, "remote", None)
     if rem is not None:
         print(f"remote plan stream_shape: {rem.stream_shape}", flush=True)
