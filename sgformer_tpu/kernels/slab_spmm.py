@@ -351,12 +351,12 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret,
 def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
                 interpret):
     int8_slab = plan.slab_dtype == "int8"
-    if int8_slab and x.shape[1] % 128 != 0:
+    if int8_slab and not interpret and x.shape[1] % 128 != 0:
+        # compiled-only constraint: Mosaic int8 VMEM slices are
+        # (8,128)-tiled with (4,1) packing (found on-chip, BENCH.md)
         raise ValueError(
             f"int8 slab mode needs the feature dim to be a multiple of "
-            f"128 (Mosaic int8 VMEM slices are (8,128)-tiled with (4,1) "
-            f"packing), got {x.shape[1]}; pad the features or use the "
-            f"bf16 slab"
+            f"128, got {x.shape[1]}; pad the features or use the bf16 slab"
         )
     stor_itemsize = 1 if int8_slab else jnp.dtype(compute_dtype).itemsize
     slab_mb = ((side.slab_rows + side.hub_rows) * x.shape[1]

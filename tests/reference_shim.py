@@ -1,13 +1,21 @@
-"""Load the reference's own torch model code (read-only, /root/reference)
-so it can be compared against this framework in-process.
+"""Load the reference's own torch code (read-only, /root/reference) so it
+can be compared against this framework in-process.
 
-The reference model files (``large/ours.py``, ``100M/ours.py``) import
-exactly three third-party symbols beyond torch itself:
-``torch_sparse.SparseTensor``, ``torch_sparse.matmul``, and
-``torch_geometric.utils.degree`` (``large/ours.py:7-8``).  Neither package
-exists in this environment (both are CUDA-built extensions), so this module
-provides minimal pure-torch implementations with identical semantics and
-loads the reference files UNMODIFIED via importlib.
+The reference depends on CUDA-built packages that don't exist in this
+environment; this module provides pure-torch stand-ins with the same
+semantics so the reference files load and run UNMODIFIED via importlib:
+
+- ``torch_sparse``: SparseTensor (COO triplet + size, LINK/MultiLP
+  conveniences), ``matmul`` (incl. batched dense operands), ``spspmm``;
+- ``torch_geometric.utils``: degree, remove/add_self_loops, subgraph,
+  to_undirected, to_dense_adj, k_hop_subgraph (name-only);
+- ``torch_geometric.nn``: gcn_norm (add-REMAINING self-loop semantics),
+  GCNConv, SGConv, APPNP, JumpingKnowledge, a minimal MessagePassing —
+  implemented from the documented PyG 1.7.2 behavior the reference pins
+  (``large/requirements.txt``), NOT copied from PyG.  GATConv is a
+  construct-time stub (a faithful shim would itself be a reimplementation;
+  the GAT baselines stay on the numpy-oracle suite);
+- ``google_drive_downloader``: import-only stub (zero egress here).
 
 This enables cross-IMPLEMENTATION parity tests: our JAX framework vs the
 reference's actual executing code — not a re-derivation of its math (which
