@@ -152,3 +152,80 @@ def test_adj_mul_parity(ref_du):
     want_set = set(map(tuple, want.T.tolist()))
     got_set = set(map(tuple, got.T.tolist()))
     assert want_set == got_set
+
+
+def test_evaluate_parity(ref_eval, ref_du):
+    """``large/eval.py:7-33`` evaluate() (full forward → per-split metric +
+    valid NLL loss) vs our ``Trainer.evaluate`` on the same logits and
+    splits, for both the accuracy and the BCE (proteins-style) paths."""
+    import types
+
+    from reference_shim import load_reference
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.graph import preprocess_graph
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train.trainer import TrainConfig, Trainer
+
+    ref_large = load_reference("large/ours.py", "ref_large_ours_eval")
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_reference_parity import LARGE_KW, copy_sgformer_variables, large_cfg
+
+    rng = np.random.default_rng(41)
+    n, f, classes = 64, 10, 5
+    ds = synthetic_dataset(num_nodes=n, num_edges=260, num_features=f,
+                           num_classes=classes, seed=4)
+    g = preprocess_graph(ds.graph["edge_index"], n)
+    x = np.asarray(ds.graph["node_feat"], dtype=np.float32)
+    y = np.asarray(ds.label).reshape(-1, 1).astype(np.int64)
+    split = ds.get_idx_split(rng=rng)
+
+    tmodel = ref_large.SGFormer(f, 16, classes, **LARGE_KW)
+    variables = copy_sgformer_variables(tmodel, 2, 2)
+    dataset_ns = types.SimpleNamespace(
+        graph={
+            "node_feat": torch.tensor(x),
+            "edge_index": torch.tensor(np.asarray(g.edge_index)),
+        },
+        label=torch.tensor(y),
+    )
+    split_t = {k: torch.tensor(v.astype(np.int64)) for k, v in split.items()}
+    args = types.SimpleNamespace(dataset="ogbn-arxiv")
+    tr_acc, va_acc, te_acc, va_loss, out = ref_eval.evaluate(
+        tmodel, dataset_ns, split_t, ref_du.eval_acc, torch.nn.NLLLoss(),
+        args,
+    )
+
+    model = SGFormer(large_cfg(classes=classes))
+    trainer = Trainer(model, g, x, y, TrainConfig())
+    logits = np.asarray(
+        model.apply(variables, np.asarray(x), g, train=False)
+    )
+    got = trainer.evaluate(logits, split)
+    np.testing.assert_allclose(got[0], tr_acc, rtol=1e-6)
+    np.testing.assert_allclose(got[1], va_acc, rtol=1e-6)
+    np.testing.assert_allclose(got[2], te_acc, rtol=1e-6)
+    np.testing.assert_allclose(got[3], float(va_loss), rtol=2e-4)
+
+    # BCE valid-loss path (yelp-chi/proteins family, eval.py:21-27): the
+    # model must emit one logit per one-hot column, i.e. 2 classes
+    y_bin = rng.integers(0, 2, (n, 1)).astype(np.int64)
+    tmodel2 = ref_large.SGFormer(f, 16, 2, **LARGE_KW)
+    variables2 = copy_sgformer_variables(tmodel2, 2, 2)
+    dataset_ns.label = torch.tensor(y_bin)
+    args.dataset = "yelp-chi"
+    _, _, _, va_loss_bce, _ = ref_eval.evaluate(
+        tmodel2, dataset_ns, split_t, ref_du.eval_rocauc,
+        torch.nn.BCEWithLogitsLoss(), args,
+    )
+    model2 = SGFormer(large_cfg(classes=2))
+    logits2 = np.asarray(
+        model2.apply(variables2, np.asarray(x), g, train=False)
+    )
+    trainer_bce = Trainer(
+        model2, g, x, y_bin,
+        TrainConfig(loss="bce", metric="rocauc"),
+    )
+    got_bce = trainer_bce.evaluate(logits2, split)
+    np.testing.assert_allclose(got_bce[3], float(va_loss_bce), rtol=2e-4)
