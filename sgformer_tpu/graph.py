@@ -231,6 +231,13 @@ def preprocess_graph(
     nodes (recorded in ``Graph.node_perm``; Trainer permutes x/labels and
     maps split indices automatically) so most aggregation runs as
     VMEM-resident one-hot matmuls instead of per-edge HBM gathers.
+
+    ``slab_geometry`` passes extra :func:`~sgformer_tpu.kernels.slabs.
+    build_slabs` options through, notably ``{"hub_rows": K}`` (pin the
+    top-K remote sources in VMEM — power-law graphs) and
+    ``{"slab_dtype": "int8"}`` (quantized aggregation with doubled
+    resident range — pair with ``slab_rows=49152``; see BENCH.md
+    "int8 slab mode" for when it wins).
     """
     edge_index = np.asarray(edge_index)
     if undirected:
