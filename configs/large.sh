@@ -2,7 +2,7 @@
 # Reproduction recipes for the large tier — mirrors
 # /root/reference/large/run.sh (published numbers in comments).
 set -e
-RUN="python -m sgformer_tpu.cli.main --method sgformer --backbone graphconv --use_pallas"
+RUN="python -m sgformer_tpu.cli.main --method sgformer --backbone graphconv --trans_residual_mode mean --use_pallas"
 
 # ogbn-arxiv, reference: 72.63 ± 0.13 (full-graph)
 $RUN --trainer full --dataset ogbn-arxiv --metric acc --lr 0.001 \

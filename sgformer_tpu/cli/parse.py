@@ -62,6 +62,14 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--trans_use_weight", action="store_true", default=True)
     parser.add_argument("--trans_use_act", action="store_true", default=False)
     parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--trans_residual_mode", type=str, default="alpha",
+                        choices=["alpha", "mean"],
+                        help="attention-stack residual: 'alpha' = "
+                             "alpha*x+(1-alpha)*prev (medium/ours.py:152, "
+                             "100M/ours.py:264); 'mean' = (x+prev)/2 "
+                             "(large/ours.py:211).  Identical when "
+                             "alpha=0.5; pass 'mean' to pin large-tier "
+                             "semantics independently of --alpha")
     parser.add_argument("--attention", type=str, default="simple",
                         choices=["simple", "softmax", "gat", "performer"])
     parser.add_argument("--attention_impl", type=str, default="auto",
@@ -106,7 +114,10 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--hub_rows", type=int, default=0,
                         help="pin the top-K remote sources in a permanent "
                              "VMEM scratch tail (ssel mode; recommended "
-                             "~6144 for power-law graphs like arxiv/pokec)")
+                             "~6144 for power-law graphs like arxiv/pokec; "
+                             "-1 = auto: enable the measured 16K-slab + "
+                             "6144-tail geometry when the top sources "
+                             "cover >=20%% of remote slots)")
     parser.add_argument("--slab_int8", action="store_true",
                         help="int8 slab mode (ssel): per-pass absmax "
                              "quantization + int8 MXU dots, doubling the "
@@ -171,6 +182,7 @@ def parse_method(args, n: int, c: int, d: int):
             trans_use_residual=args.trans_use_residual,
             trans_use_weight=args.trans_use_weight,
             trans_use_act=args.trans_use_act,
+            trans_residual_mode=args.trans_residual_mode,
             attention_kernel=args.attention,
             attention_impl=args.attention_impl,
             compute_dtype=args.compute_dtype,

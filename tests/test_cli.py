@@ -125,3 +125,22 @@ def test_cli_slab_mode(tmp_path):
         "--use_pallas", "--spmm_mode", "slab", "--chunk_dtype", "f32",
     ])
     assert logger.results[0]
+
+
+def test_cli_trans_residual_mode():
+    """--trans_residual_mode reaches the model config: 'mean' pins the
+    large-tier (x+prev)/2 residual (large/ours.py:211) independently of
+    --alpha, while the 'alpha' default keeps medium/100M semantics."""
+    import argparse
+
+    from sgformer_tpu.cli.parse import parse_method, parser_add_main_args
+
+    parser = parser_add_main_args(argparse.ArgumentParser())
+    args = parser.parse_args([
+        "--method", "sgformer", "--backbone", "graphconv",
+        "--trans_residual_mode", "mean", "--alpha", "0.7",
+    ])
+    model = parse_method(args, n=100, c=4, d=16)
+    assert model.config.trans_residual_mode == "mean"
+    args = parser.parse_args(["--method", "sgformer"])
+    assert parse_method(args, 100, 4, 16).config.trans_residual_mode == "alpha"
