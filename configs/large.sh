@@ -4,8 +4,11 @@
 set -e
 RUN="python -m sgformer_tpu.cli.main --method sgformer --backbone graphconv --trans_residual_mode mean --use_pallas"
 
-# ogbn-arxiv, reference: 72.63 ± 0.13 (full-graph)
+# ogbn-arxiv, reference: 72.63 ± 0.13 (full-graph).  ssel slab plans +
+# auto hub: arxiv's power-law degree profile concentrates cross-cluster
+# edges on hubs, which hub_rows=-1 detects and pins in VMEM (BENCH.md)
 $RUN --trainer full --dataset ogbn-arxiv --metric acc --lr 0.001 \
+    --spmm_mode ssel --hub_rows -1 \
     --hidden_channels 256 --graph_weight 0.5 --gnn_num_layers 3 \
     --gnn_dropout 0.5 --gnn_weight_decay 0. --trans_num_layers 1 \
     --trans_dropout 0.5 --trans_weight_decay 0. \

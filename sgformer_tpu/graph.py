@@ -234,7 +234,8 @@ def preprocess_graph(
 
     ``slab_geometry`` passes extra :func:`~sgformer_tpu.kernels.slabs.
     build_slabs` options through, notably ``{"hub_rows": K}`` (pin the
-    top-K remote sources in VMEM — power-law graphs) and
+    top-K remote sources in VMEM — power-law graphs; ``-1``/``"auto"``
+    decides from the remote-slot histogram, see ``slabs._auto_hub``) and
     ``{"slab_dtype": "int8"}`` (quantized aggregation with doubled
     resident range — pair with ``slab_rows=49152``; see BENCH.md
     "int8 slab mode" for when it wins).

@@ -220,6 +220,68 @@ class SlabSpMM:
     slab_dtype: str = "compute"
 
 
+def _residency_base(src, dst, n_pad, W, H, R):
+    """Per-window resident-range base (in H-bin units) + per-edge local
+    mask: the R-row span covering the most of each window's in-edge
+    sources, found by a sliding-window histogram over H-row bins."""
+    n_windows = -(-n_pad // W)
+    win = dst // W
+    n_bins = n_pad // H
+    span = R // H
+    hist = np.zeros((n_windows, n_bins), dtype=np.int32)
+    np.add.at(hist, (win, src // H), 1)
+    sliding = np.cumsum(hist, axis=1)
+    pad = np.zeros((n_windows, 1), dtype=sliding.dtype)
+    sliding = np.concatenate([pad, sliding], axis=1)
+    cover = sliding[:, span:] - sliding[:, :-span]  # [n_windows, bins-span+1]
+    base = np.argmax(cover, axis=1).astype(np.int64)  # [n_windows]
+    # hysteresis: keep the previous window's base when it covers nearly as
+    # many sources — consecutive windows of one cluster then share one
+    # residency and the (R x F) slab DMA fires per CLUSTER, not per window
+    best = cover[np.arange(n_windows), base]
+    for w in range(1, n_windows):
+        pb = base[w - 1]
+        if cover[w, pb] >= 0.98 * best[w]:
+            base[w] = pb
+    ebase = base[dst // W]
+    local = (src // H >= ebase) & (src // H < ebase + span)
+    return base, local
+
+
+# auto hub mode (hub_rows=-1): the measured win/loss endpoints are in
+# BENCH.md "Hub-resident scratch tail" — a 6144-row tail next to a 16K
+# slab beat the 24K no-hub default by 7% on a power-law graph where the
+# top-6144 remote sources covered ~32% of remote slots, and is a small
+# loss on uniform graphs where they cover <10%.
+_AUTO_HUB_ROWS = 6144
+_AUTO_HUB_SLAB_ROWS = 16384  # R where the 6144-row tail still fits VMEM
+_AUTO_HUB_COVERAGE = 0.20  # min fraction of remote slots the tail captures
+_AUTO_HUB_REMOTE_SHARE = 0.10  # min remote fraction of all edges
+_AUTO_HUB_MIN_PAD = 8 * _AUTO_HUB_ROWS  # stay inside the measured regime
+
+
+def _auto_hub(src, dst, n_pad, window_rows, H, R):
+    """Decide the hub tail for ``hub_rows='auto'``: returns
+    ``(hub_rows, R)`` — either the measured power-law configuration
+    (6144-row tail + 16K slab) or ``(0, R)`` unchanged.  Decision inputs
+    measured on the uniform/power-law bench graphs: top-6144 remote-slot
+    coverage 0.18 vs 0.41 (scripts in BENCH.md "Hub-resident scratch
+    tail"); graphs smaller than ``_AUTO_HUB_MIN_PAD`` rows keep hub off —
+    the residency already covers most of them."""
+    if n_pad < _AUTO_HUB_MIN_PAD or not len(src):
+        return 0, R
+    R_hub = min(R, _AUTO_HUB_SLAB_ROWS)
+    _, local = _residency_base(src, dst, n_pad, window_rows, H, R_hub)
+    cand = src[~local]
+    if len(cand) < _AUTO_HUB_REMOTE_SHARE * len(src):
+        return 0, R
+    _, cnt = np.unique(cand, return_counts=True)
+    top = np.sort(cnt)[::-1][:_AUTO_HUB_ROWS].sum()
+    if top < _AUTO_HUB_COVERAGE * len(cand):
+        return 0, R
+    return _AUTO_HUB_ROWS, R_hub
+
+
 def _build_side(
     src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair,
     remote_window_rows=1024, remote_chunk_edges=1024, stream_sel=None,
@@ -236,28 +298,9 @@ def _build_side(
     than ``min_pair`` (their chunks would be mostly padding), go REMOTE
     via the round-1 gather plan."""
     n_windows = -(-n_pad // W)
+    base, local = _residency_base(src, dst, n_pad, W, H, R)
     win = dst // W
-    n_bins = n_pad // H
-    span = R // H
-    # histogram of src H-bins per window -> best R-row span per window
-    hist = np.zeros((n_windows, n_bins), dtype=np.int32)
-    np.add.at(hist, (win, src // H), 1)
-    sliding = np.cumsum(hist, axis=1)
-    pad = np.zeros((n_windows, 1), dtype=sliding.dtype)
-    sliding = np.concatenate([pad, sliding], axis=1)
-    cover = sliding[:, span:] - sliding[:, :-span]  # [n_windows, bins-span+1]
-    base = np.argmax(cover, axis=1).astype(np.int64)  # [n_windows]
-    # hysteresis: keep the previous window's base when it covers nearly as
-    # many sources — consecutive windows of one cluster then share one
-    # residency and the (R x F) slab DMA fires per CLUSTER, not per window
-    best = cover[np.arange(n_windows), base]
-    for w in range(1, n_windows):
-        pb = base[w - 1]
-        if cover[w, pb] >= 0.98 * best[w]:
-            base[w] = pb
-
     ebase = base[win]
-    local = (src // H >= ebase) & (src // H < ebase + span)
 
     # ---- hub rows: power-law graphs concentrate the CROSS-cluster edges
     # on high-degree sources; the top ``hub_rows`` out-of-range sources by
@@ -520,7 +563,7 @@ def build_slabs(
     stream_sel: Optional[str] = None,
     symmetric: Optional[bool] = None,
     sep_rs: Optional[np.ndarray] = None,
-    hub_rows: int = 0,
+    hub_rows: int | str = 0,
     slab_dtype: str = "compute",
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
@@ -531,7 +574,11 @@ def build_slabs(
     elementwise ``w_self`` path.  ``stream_sel`` in {'bf16','f32'} builds
     host-prebuilt streamed selectors instead of in-kernel one-hot
     construction; ``symmetric=None`` auto-detects A == Aᵀ and aliases the
-    transpose plan onto the forward plan when it holds."""
+    transpose plan onto the forward plan when it holds.  ``hub_rows`` pins
+    the top-K remote sources in a permanent VMEM scratch tail (power-law
+    graphs); ``-1``/``'auto'`` enables the measured hub geometry
+    (16K slab + 6144-row tail) only when the top sources cover enough
+    remote slots to pay for it — see ``_AUTO_HUB_*``."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float64)
@@ -564,6 +611,19 @@ def build_slabs(
         else:
             sep_rs = None
 
+    if hub_rows in (-1, "auto"):
+        if stream_sel != "bf16" or slab_dtype != "compute":
+            # the auto geometry (16K slab + 6144 tail) is measured for —
+            # and only fits VMEM under — the bf16 production path: the
+            # f32 slab is capped at 8192 rows (where the tail would blow
+            # the 13 MB budget at F=256), and int8 mode exists to GROW
+            # the residency, which shrinking to 16K would defeat
+            hub_rows = 0
+        else:
+            # shrinks the slab to the measured hub geometry when the tail
+            # triggers, so it fits the VMEM budget next to it
+            hub_rows, R = _auto_hub(src, dst, n_pad, window_rows, H, R)
+            window_rows = min(window_rows, R)
     if hub_rows > 0:
         if stream_sel is None:
             raise ValueError("hub_rows requires stream_sel (ssel) mode")

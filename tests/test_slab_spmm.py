@@ -655,3 +655,87 @@ def test_slab_int8_under_jit(problem):
     want = np.asarray(spmm(xj, jnp.asarray(s2), jnp.asarray(d2),
                            jnp.asarray(w2), n))
     assert np.abs(got - want).max() / np.abs(want).max() < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# Auto hub mode (hub_rows=-1 / 'auto')
+# ---------------------------------------------------------------------------
+
+
+def _auto_hub_edges(n_pad, n_remote, rng, hub_pool=50):
+    """Edges whose windows' mass is range-local plus ``n_remote`` edges
+    sourced from a small hub pool in the first residency range."""
+    dst = rng.integers(0, n_pad, 300_000)
+    src = (dst // 16384) * 16384 + rng.integers(0, 16384, len(dst))
+    hubs = rng.choice(4096, hub_pool, replace=False)
+    rdst = rng.integers(0, n_pad, n_remote)
+    rsrc = hubs[rng.integers(0, hub_pool, n_remote)]
+    return (np.concatenate([src, rsrc]).astype(np.int64),
+            np.concatenate([dst, rdst]).astype(np.int64))
+
+
+def test_auto_hub_decision():
+    """_auto_hub enables the measured hub geometry only for large graphs
+    whose remote slots concentrate on few sources (BENCH.md thresholds;
+    at real bench scale the top-6144 coverage measured 0.181 uniform vs
+    0.412 power-law)."""
+    from sgformer_tpu.kernels.slabs import _auto_hub
+
+    rng = np.random.default_rng(0)
+    n_pad = 65536
+    # hub-concentrated remote traffic -> tail on, slab shrunk to 16K
+    src, dst = _auto_hub_edges(n_pad, 80_000, rng)
+    hub, R = _auto_hub(src, dst, n_pad, 128, 4096, 24576)
+    assert (hub, R) == (6144, 16384)
+    # remote share below the gate -> off, R untouched
+    src, dst = _auto_hub_edges(n_pad, 8_000, rng)
+    hub, R = _auto_hub(src, dst, n_pad, 128, 4096, 24576)
+    assert (hub, R) == (0, 24576)
+    # graphs smaller than the measured regime -> off
+    src, dst = _auto_hub_edges(4096, 80_000, rng)
+    hub, R = _auto_hub(src % 4096, dst % 4096, 4096, 128, 4096, 24576)
+    assert (hub, R) == (0, 24576)
+
+
+def test_auto_hub_build_slabs():
+    """hub_rows=-1 flows through build_slabs: the triggered plan pins the
+    tail and shrinks the slab; meta (non-ssel) mode stays hub-free."""
+    rng = np.random.default_rng(1)
+    src, dst = _auto_hub_edges(65536, 80_000, rng)
+    w = np.ones(len(src), dtype=np.float32)
+    plan = build_slabs(src, dst, w, 65536, stream_sel="bf16", hub_rows=-1,
+                       slab_rows=24576, base_rows=4096)
+    assert plan.fwd.hub_rows == 6144
+    assert plan.fwd.slab_rows == 16384
+    # f32 stream (8K-slab VMEM cap) and meta mode keep the tail off
+    plan = build_slabs(src, dst, w, 65536, stream_sel="f32", hub_rows=-1,
+                       slab_rows=8192, base_rows=4096)
+    assert plan.fwd.hub_rows == 0
+    plan = build_slabs(src, dst, w, 65536, hub_rows="auto",
+                       slab_rows=24576, base_rows=4096)
+    assert plan.fwd.hub_rows == 0
+
+
+def test_slab_int8_with_hub_tail(hub_problem):
+    """int8 slab mode combined with the hub-resident tail: hub rows are
+    gathered from the QUANTIZED features and live in the int8 scratch
+    tail; planted-integer features make the whole path exact."""
+    s2, d2, w2, n, _, _ = hub_problem
+    w = np.ones(len(s2), dtype=np.float32)
+    plan = build_slabs(
+        s2, d2, w, n, stream_sel="bf16", sep_rs=np.ones(n, np.float32),
+        slab_dtype="int8", hub_rows=64, min_pair=2, **PARAMS,
+    )
+    # the power-law graph must actually produce hub chunks
+    assert plan.fwd.hub_ids is not None
+    assert int(jnp.max(plan.fwd.subblock)) >= (
+        plan.fwd.slab_rows // PARAMS["block_rows"]
+    )
+    rng = np.random.default_rng(7)
+    x = rng.integers(-3, 4, (n, 32)).astype(np.float32)
+    x[0, 0] = 127.0  # plants absmax -> scale exactly 1
+    want = np.asarray(spmm(jnp.asarray(x), jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w), n))
+    got = np.asarray(slab_spmm(jnp.asarray(x), plan,
+                               compute_dtype=jnp.bfloat16, interpret=True))
+    np.testing.assert_array_equal(got, want)
