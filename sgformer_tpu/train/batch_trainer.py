@@ -59,12 +59,19 @@ def build_subgraph_batch(
     use_pallas: bool = False,
     chunk_dtype: str = "bf16",
     chunk_interpret: bool = False,
+    pad_nodes_to: Optional[int] = None,
 ) -> Graph:
     """Node-induced, relabeled, degree-normalized, edge-padded subgraph.
     ``use_pallas`` builds fixed-shape MXU chunk plans (padded to the
-    bucket's worst case) so every batch shares one compiled step."""
+    bucket's worst case) so every batch shares one compiled step.
+    ``pad_nodes_to`` pads the NODE count with isolated, edge-less nodes
+    (for tail batches that must reuse a full-batch compiled shape; mask
+    them out of attention/metrics with ``node_mask``)."""
     node_idx = np.asarray(node_idx)
     b = len(node_idx)
+    b_out = b if pad_nodes_to is None else int(pad_nodes_to)
+    if b_out < b:
+        raise ValueError(f"pad_nodes_to {b_out} < batch nodes {b}")
     mapping = np.full(num_nodes_total, -1, dtype=np.int64)
     mapping[node_idx] = np.arange(b)
     src, dst = edge_index
@@ -79,20 +86,20 @@ def build_subgraph_batch(
         raise ValueError(f"bucket {cap} < subgraph edges {e}")
     pad = cap - e
     s = np.concatenate([s, np.zeros(pad, dtype=s.dtype)])
-    d = np.concatenate([d, np.full(pad, b - 1, dtype=d.dtype)])
+    d = np.concatenate([d, np.full(pad, b_out - 1, dtype=d.dtype)])
     w = np.concatenate([w, np.zeros(pad, dtype=w.dtype)])
-    indptr = np.zeros(b + 1, dtype=np.int64)
-    np.cumsum(np.bincount(d[: e], minlength=b), out=indptr[1:])
+    indptr = np.zeros(b_out + 1, dtype=np.int64)
+    np.cumsum(np.bincount(d[: e], minlength=b_out), out=indptr[1:])
     indptr[-1] = cap
     pyg_src = pyg_dst = pyg_weight = None
     if with_pyg_norm:
         ps, pd, pw = pyg_gcn_norm(np.stack([s[:e], d[:e]]), b)
-        ppad = cap + b - len(ps)
+        ppad = cap + b_out - len(ps)
         pyg_src = jnp.asarray(
             np.concatenate([ps, np.zeros(max(ppad, 0), dtype=ps.dtype)])
         )
         pyg_dst = jnp.asarray(
-            np.concatenate([pd, np.full(max(ppad, 0), b - 1, dtype=pd.dtype)])
+            np.concatenate([pd, np.full(max(ppad, 0), b_out - 1, dtype=pd.dtype)])
         )
         pyg_weight = jnp.asarray(
             np.concatenate([pw, np.zeros(max(ppad, 0), dtype=pw.dtype)])
@@ -102,14 +109,14 @@ def build_subgraph_batch(
         from sgformer_tpu.kernels.chunks import build_chunks_fixed
 
         chunks = build_chunks_fixed(
-            s[:e], d[:e], w[:e], b, edge_cap=cap,
+            s[:e], d[:e], w[:e], b_out, edge_cap=cap,
         )
     return Graph(
         edge_src=jnp.asarray(s, dtype=jnp.int32),
         edge_dst=jnp.asarray(d, dtype=jnp.int32),
         gcn_weight=jnp.asarray(w.astype(np.float32)),
         indptr=jnp.asarray(indptr, dtype=jnp.int32),
-        num_nodes=int(b),
+        num_nodes=int(b_out),
         num_edges=int(cap),
         pyg_src=pyg_src,
         pyg_dst=pyg_dst,
@@ -231,41 +238,66 @@ class BatchTrainer:
             jax.jit(eval_step)(state, jnp.asarray(self.x), self.full_graph)
         )
 
-    def _eval_streaming(self, state, split_idx, rng) -> dict:
-        """``evaluate_batch`` (large/eval.py:67-118): random batches per
-        split, streaming correct/total counts."""
+    def _eval_streaming(self, state, split_idx, np_rng) -> dict:
+        """``evaluate_batch`` (large/eval.py:67-118): ONE random permutation
+        of ALL n nodes, mixed batches covering every node (the reference's
+        ``num_batch = n // batch_size + 1``), per-split correct/total
+        accumulated inside each batch via split masks — so eval subgraphs
+        carry cross-split context exactly like the reference's.  The tail
+        batch is padded to the full batch shape with isolated nodes and
+        masked out of attention (``node_mask``) and of the counts, so every
+        batch reuses one compiled forward and no node is dropped."""
         cfg = self.config
+        B = cfg.batch_size
 
         @jax.jit
-        def fwd(state, x, graph):
+        def fwd(state, x, graph, node_mask):
             return self.model.apply(
                 {"params": state["params"], "batch_stats": state["batch_stats"]},
                 x,
                 graph,
                 train=False,
+                node_mask=node_mask,
             )
 
-        res = {}
+        split_mask = {}
         for split in ("train", "valid", "test"):
-            idx = np.asarray(split_idx[split])
-            total = correct = 0
-            for i in range(0, max(len(idx) - cfg.batch_size + 1, 1), cfg.batch_size):
-                bidx = idx[i : i + cfg.batch_size]
-                if len(bidx) < cfg.batch_size:
-                    break
-                gb = build_subgraph_batch(
-                    self.edge_index, bidx, self.num_nodes,
-                    with_pyg_norm=self.with_pyg_norm,
-                    bucket=self._eval_bucket,
-                    use_pallas=cfg.use_pallas,
-                    chunk_interpret=self.chunk_interpret,
+            m = np.zeros(self.num_nodes, dtype=bool)
+            m[np.asarray(split_idx[split])] = True
+            split_mask[split] = m
+
+        perm = np_rng.permutation(self.num_nodes)
+        total = {s: 0 for s in split_mask}
+        correct = {s: 0 for s in split_mask}
+        for i in range(0, self.num_nodes, B):
+            bidx = perm[i : i + B]
+            r = len(bidx)
+            gb = build_subgraph_batch(
+                self.edge_index, bidx, self.num_nodes,
+                with_pyg_norm=self.with_pyg_norm,
+                bucket=self._eval_bucket,
+                use_pallas=cfg.use_pallas,
+                chunk_interpret=self.chunk_interpret,
+                pad_nodes_to=B,
+            )
+            xb = self.x[bidx]
+            if r < B:
+                xb = np.concatenate(
+                    [xb, np.zeros((B - r, xb.shape[1]), dtype=xb.dtype)]
                 )
-                out = np.asarray(fwd(state, jnp.asarray(self.x[bidx]), gb))
-                t, c = count_correct(self.label_flat[bidx], out)
-                total += t
-                correct += c
-            res[split] = correct / max(total, 1)
-        return res
+            nm = np.zeros(B, dtype=np.float32)
+            nm[:r] = 1.0
+            out = np.asarray(
+                fwd(state, jnp.asarray(xb), gb, jnp.asarray(nm))
+            )[:r]
+            yb = self.label_flat[bidx]
+            for split, m_full in split_mask.items():
+                m = m_full[bidx]
+                if m.any():
+                    t, c = count_correct(yb[m], out[m])
+                    total[split] += t
+                    correct[split] += c
+        return {s: correct[s] / max(total[s], 1) for s in split_mask}
 
     # -- main loop -----------------------------------------------------------
 

@@ -19,6 +19,8 @@ def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     import jax
 
     if cache_dir is None:
+        cache_dir = os.environ.get("SGFORMER_CACHE_DIR")
+    if cache_dir is None:
         repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
         cache_dir = os.path.join(repo_root, ".jax_cache")
     os.makedirs(cache_dir, exist_ok=True)

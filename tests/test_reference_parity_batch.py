@@ -154,3 +154,83 @@ def test_batch_training_trajectory_vs_reference():
     np.testing.assert_allclose(j_final, t_final, rtol=5e-2, atol=5e-3)
     agree = (j_final.argmax(1) == t_final.argmax(1)).mean()
     assert agree >= 0.97, f"prediction agreement {agree}"
+
+
+def test_evaluate_batch_vs_reference():
+    """Executes the reference's OWN ``evaluate_batch``
+    (``large/eval.py:67-118``: one randperm over ALL n nodes, mixed batches
+    covering every node including the sub-batch tail, per-split masked
+    correct/total counts) against ``BatchTrainer._eval_streaming`` with the
+    same permutation and copied weights.  Exercises the two round-3 defects:
+    tail-batch node droppage and accuracy-0.0 for splits smaller than the
+    batch size (valid split here has 12 nodes < batch_size=16)."""
+    install_shims()
+    ref_eval = load_reference("large/eval.py", "ref_large_eval")
+
+    rng = np.random.default_rng(23)
+    n, f, classes = 50, 10, 4
+    batch_size = 16  # 50 = 3*16 + 2 → tail batch of 2 nodes
+    edge_index = np.stack(
+        [rng.integers(0, n, 240), rng.integers(0, n, 240)]
+    ).astype(np.int64)
+    g = preprocess_graph(edge_index, n)
+    edges = np.asarray(g.edge_index)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, classes, n).astype(np.int64)
+    perm_all = rng.permutation(n)
+    split_idx = {
+        "train": perm_all[:25],
+        "valid": perm_all[25:37],  # 12 nodes < batch_size
+        "test": perm_all[37:],
+    }
+
+    ref_large = load_reference("large/ours.py", "ref_large_ours_evalbatch")
+    tmodel = ref_large.SGFormer(f, 16, classes, **LARGE_KW)
+    model = SGFormer(large_cfg(classes=classes))
+    variables = copy_sgformer_variables(tmodel, 2, 2)
+
+    # pin the permutation evaluate_batch will draw internally
+    torch.manual_seed(91)
+    perm = torch.randperm(n)
+    torch.manual_seed(91)
+
+    class Args:
+        pass
+
+    args = Args()
+    args.batch_size = batch_size
+    dataset = Args()
+    dataset.graph = {
+        "edge_index": torch.tensor(edges),
+        "node_feat": torch.tensor(x),
+    }
+    t_split = {k: torch.tensor(np.asarray(v)) for k, v in split_idx.items()}
+    t_train, t_valid, t_test, _, _ = ref_eval.evaluate_batch(
+        tmodel, dataset, t_split, args, torch.device("cpu"), n,
+        torch.tensor(y).reshape(-1, 1),
+    )
+
+    from sgformer_tpu.train.batch_trainer import BatchTrainConfig, BatchTrainer
+
+    cfg = BatchTrainConfig(batch_size=batch_size, eval_mode="batch")
+    trainer = BatchTrainer(model, edges, x, y, cfg)
+    trainer._eval_bucket = 4096
+    state = {
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+    }
+
+    class FixedPerm:
+        def permutation(self, m):
+            assert m == n
+            return perm.numpy()
+
+    accs = trainer._eval_streaming(state, split_idx, FixedPerm())
+
+    # totals are deterministic (coverage); correct-counts can flip only on
+    # borderline argmax ties — require node-exact agreement
+    for name, ref_acc in (("train", t_train), ("valid", t_valid),
+                          ("test", t_test)):
+        assert accs[name] == pytest.approx(float(ref_acc), abs=1e-9), (
+            name, accs[name], float(ref_acc))
+    assert accs["valid"] > 0.0  # the round-3 small-split 0.0 regression
