@@ -49,6 +49,11 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--hidden_channels", type=int, default=32)
     parser.add_argument("--num_layers", type=int, default=2)
     parser.add_argument("--num_heads", type=int, default=1)
+    parser.add_argument("--gat_heads", type=int, default=None,
+                        help="GAT hidden-layer heads (large/parse.py:122; "
+                             "falls back to --num_heads)")
+    parser.add_argument("--out_heads", type=int, default=1,
+                        help="GAT output-layer heads (large/parse.py:124)")
     parser.add_argument("--dropout", type=float, default=0.5)
     parser.add_argument("--hops", type=int, default=2)
     parser.add_argument("--use_bn", action="store_true")
@@ -208,7 +213,9 @@ def parse_method(args, n: int, c: int, d: int):
                    dropout=args.dropout, use_bn=use_bn, axis_name=axis)
     if method == "gat":
         return GAT(args.hidden_channels, c, num_layers=args.num_layers,
-                   heads=args.num_heads, dropout=args.dropout, use_bn=use_bn,
+                   heads=args.gat_heads or args.num_heads,
+                   out_heads=args.out_heads,
+                   dropout=args.dropout, use_bn=use_bn,
                    axis_name=axis)
     if method == "sgc":
         return SGC(c, hops=args.hops)
@@ -229,7 +236,8 @@ def parse_method(args, n: int, c: int, d: int):
                      dropout=args.dropout, use_bn=use_bn, axis_name=axis)
     if method == "gatjk":
         return GATJK(args.hidden_channels, c, num_layers=args.num_layers,
-                     heads=args.num_heads, dropout=args.dropout, use_bn=use_bn,
+                     heads=args.gat_heads or args.num_heads,
+                     dropout=args.dropout, use_bn=use_bn,
                      axis_name=axis)
     if method == "appnp":
         return APPNP(args.hidden_channels, c, dropout=args.dropout)

@@ -173,9 +173,10 @@ class GATConv(nn.Module):
     heads: int = 1
     concat: bool = True
     negative_slope: float = 0.2
+    dropout: float = 0.0  # attention-coefficient dropout (PyG GATConv)
 
     @nn.compact
-    def __call__(self, x, graph):
+    def __call__(self, x, graph, *, train: bool = False):
         H, D = self.heads, self.out_channels
         h = TorchLinear(H * D, use_bias=False, name="lin")(x).reshape(-1, H, D)
         a_src = self.param("att_src", nn.initializers.glorot_uniform(), (1, H, D))
@@ -187,6 +188,8 @@ class GATConv(nn.Module):
             negative_slope=self.negative_slope,
         )
         w = edge_softmax(e, graph.edge_dst, graph.num_nodes)  # [E, H]
+        if self.dropout > 0.0:
+            w = Dropout(self.dropout, deterministic=not train)(w)
         chunks = getattr(graph, "chunks", None)
         if chunks is not None and chunks.fwd.edge_perm is not None:
             # MXU path: per-head runtime-weighted chunk kernel
@@ -232,6 +235,7 @@ class GAT(nn.Module):
     out_channels: int
     num_layers: int = 2
     heads: int = 2
+    out_heads: int = 1  # final-layer heads (gnns.py:289-290 default)
     dropout: float = 0.5
     use_bn: bool = True
     axis_name: Optional[str] = None
@@ -239,9 +243,11 @@ class GAT(nn.Module):
     @nn.compact
     def __call__(self, x, graph, *, train: bool = False, node_mask=None):
         dropout = Dropout(self.dropout, deterministic=not train)
+        x = dropout(x)  # input dropout precedes the first conv (gnns.py:303)
         for i in range(self.num_layers - 1):
-            x = GATConv(self.hidden_channels, heads=self.heads, name=f"conv_{i}")(
-                x, graph
+            x = GATConv(self.hidden_channels, heads=self.heads,
+                        dropout=self.dropout, name=f"conv_{i}")(
+                x, graph, train=train
             )
             if self.use_bn:
                 x = MaskedBatchNorm(axis_name=self.axis_name, name=f"bn_{i}")(
@@ -250,9 +256,9 @@ class GAT(nn.Module):
             x = nn.elu(x)
             x = dropout(x)
         return GATConv(
-            self.out_channels, heads=self.heads, concat=False,
-            name=f"conv_{self.num_layers - 1}",
-        )(x, graph)
+            self.out_channels, heads=self.out_heads, concat=False,
+            dropout=self.dropout, name=f"conv_{self.num_layers - 1}",
+        )(x, graph, train=train)
 
 
 class MixHopLayer(nn.Module):

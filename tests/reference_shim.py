@@ -12,9 +12,10 @@ semantics so the reference files load and run UNMODIFIED via importlib:
 - ``torch_geometric.nn``: gcn_norm (add-REMAINING self-loop semantics),
   GCNConv, SGConv, APPNP, JumpingKnowledge, a minimal MessagePassing —
   implemented from the documented PyG 1.7.2 behavior the reference pins
-  (``large/requirements.txt``), NOT copied from PyG.  GATConv is a
-  construct-time stub (a faithful shim would itself be a reimplementation;
-  the GAT baselines stay on the numpy-oracle suite);
+  (``large/requirements.txt``), NOT copied from PyG.  GATConv (round 4)
+  implements the 1.7.2 semantics faithfully: shared lin_l=lin_r, additive
+  per-head logits, LeakyReLU, per-destination segment softmax, attention
+  dropout, remove+re-add self-loops per forward;
 - ``google_drive_downloader``: import-only stub (zero egress here).
 
 This enables cross-IMPLEMENTATION parity tests: our JAX framework vs the
@@ -353,12 +354,76 @@ def _build_torch_geometric_nn(ts_mod):
         def message(self, x_j):
             return x_j
 
-    class GATConv(nn.Module):  # pragma: no cover - stub
-        def __init__(self, *a, **k):
-            raise RuntimeError(
-                "GATConv shim is construct-time only; GAT baselines are "
-                "verified against the numpy oracle (tests/test_baselines.py)"
+    class GATConv(nn.Module):
+        """PyG 1.7.2 GATConv from its documented semantics (not copied):
+        one shared ``lin_l = lin_r`` Linear (int in_channels), per-head
+        additive attention logits ``(x_l·att_l)[src] + (x_r·att_r)[dst]``
+        through LeakyReLU, segment softmax per DESTINATION, dropout on the
+        attention coefficients, sum aggregation, heads concatenated (or
+        averaged when ``concat=False``), then bias."""
+
+        def __init__(self, in_channels, out_channels, heads=1, concat=True,
+                     negative_slope=0.2, dropout=0.0, add_self_loops=True,
+                     bias=True, **kwargs):
+            super().__init__()
+            self.heads, self.out_channels = heads, out_channels
+            self.concat, self.negative_slope = concat, negative_slope
+            self.dropout = dropout
+            self.add_self_loops = add_self_loops
+            self.lin_l = nn.Linear(in_channels, heads * out_channels,
+                                   bias=False)
+            self.lin_r = self.lin_l
+            self.att_l = nn.Parameter(torch.empty(1, heads, out_channels))
+            self.att_r = nn.Parameter(torch.empty(1, heads, out_channels))
+            if bias:
+                self.bias = nn.Parameter(
+                    torch.empty(heads * out_channels if concat else
+                                out_channels)
+                )
+            else:
+                self.register_parameter("bias", None)
+            self.reset_parameters()
+
+        def reset_parameters(self):
+            nn.init.xavier_uniform_(self.lin_l.weight)  # PyG glorot
+            nn.init.xavier_uniform_(self.att_l)
+            nn.init.xavier_uniform_(self.att_r)
+            if self.bias is not None:
+                nn.init.zeros_(self.bias)
+
+        def forward(self, x, edge_index):
+            H, C = self.heads, self.out_channels
+            n = x.shape[0]
+            x_l = self.lin_l(x).view(-1, H, C)
+            alpha_l = (x_l * self.att_l).sum(-1)  # [N, H]
+            alpha_r = (x_l * self.att_r).sum(-1)
+            src, dst = edge_index[0].long(), edge_index[1].long()
+            if self.add_self_loops:
+                # PyG remove_self_loops + add_self_loops at every forward
+                keep = src != dst
+                loop = torch.arange(n, dtype=src.dtype)
+                src = torch.cat([src[keep], loop])
+                dst = torch.cat([dst[keep], loop])
+            e = torch.nn.functional.leaky_relu(
+                alpha_l[src] + alpha_r[dst], self.negative_slope
+            )  # [E, H]
+            # segment softmax over incoming edges of each destination
+            e_max = torch.zeros(n, H).index_reduce_(
+                0, dst, e, "amax", include_self=False
             )
+            ex = torch.exp(e - e_max[dst])
+            denom = torch.zeros(n, H).index_add_(0, dst, ex)
+            alpha = ex / denom.clamp(min=1e-16)[dst]
+            alpha = torch.nn.functional.dropout(
+                alpha, p=self.dropout, training=self.training
+            )
+            out = torch.zeros(n, H, C, dtype=x_l.dtype).index_add_(
+                0, dst, x_l[src] * alpha.unsqueeze(-1)
+            )
+            out = out.reshape(n, H * C) if self.concat else out.mean(dim=1)
+            if self.bias is not None:
+                out = out + self.bias
+            return out
 
     nn_mod = types.ModuleType("torch_geometric.nn")
     nn_mod.GCNConv = GCNConv

@@ -3,10 +3,9 @@ the reference's ``large/gnns.py`` executing unmodified under the
 ``reference_shim`` PyG/torch_sparse stand-ins.
 
 Covers MLP, LINK, SGC, SGCMem, SGC2, SIGN, MixHop, GCN, GCNJK (cat+max),
-APPNP, GPRGNN, and the parameter-free MultiLP (plain + mult_bin).  GAT /
-GATJK are excluded: a faithful pure-torch GATConv shim would itself be a
-reimplementation, so those stay covered by the numpy-oracle suite
-(``tests/test_baselines.py``).
+APPNP, GPRGNN, the parameter-free MultiLP (plain + mult_bin), and — since
+round 4's faithful GATConv shim — GAT and GATJK (cat+max) with copied
+weights, completing cross-implementation coverage of the zoo.
 
 All graphs are canonically preprocessed (undirected + exactly one
 self-loop per node), where our in-degree DAD weights coincide with PyG
@@ -295,3 +294,53 @@ def test_multilp_mult_bin_parity(gnns, gx):
     ours = B.MultiLP(tasks, alpha=0.5, hops=1, num_iters=8, mult_bin=True)
     got = np.asarray(ours.predict(g, label, train_idx))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def _map_gatconv(conv):
+    """Shim GATConv (PyG 1.7.2 semantics) → our flax GATConv params:
+    shared lin_l=lin_r → 'lin', att_l/att_r → att_src/att_dst (PyG's
+    message is alpha_l[src] + alpha_r[dst])."""
+    return {
+        "lin": {"kernel": jnp.array(conv.lin_l.weight.detach().numpy().T)},
+        "att_src": jnp.array(conv.att_l.detach().numpy()),
+        "att_dst": jnp.array(conv.att_r.detach().numpy()),
+        "bias": jnp.array(conv.bias.detach().numpy()),
+    }
+
+
+def test_gat_parity(gnns, gx):
+    """GAT vs the reference's own ``large/gnns.py:272-310`` executing under
+    the round-4 faithful GATConv shim (LeakyReLU additive logits,
+    per-destination segment softmax, concat heads, mean on the out layer
+    with ``out_heads=1``)."""
+    g, x = gx
+    tm = gnns.GAT(x.shape[1], 8, N_CLASSES, num_layers=3, dropout=0.0,
+                  use_bn=True, heads=2, out_heads=1)
+    params, stats = {}, {}
+    for i, conv in enumerate(tm.convs):
+        params[f"conv_{i}"] = _map_gatconv(conv)
+    for i, bn in enumerate(tm.bns):
+        params[f"bn_{i}"], stats[f"bn_{i}"] = _bn(bn)
+    model = B.GAT(8, N_CLASSES, num_layers=3, dropout=0.0, use_bn=True,
+                  heads=2, out_heads=1)
+    got = _apply(model, _vars(params, stats), x, g, train=False)
+    np.testing.assert_allclose(got, _ref_out(tm, x, g), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("jk_type", ["cat", "max"])
+def test_gatjk_parity(gnns, gx, jk_type):
+    """GATJK vs ``large/gnns.py:501-552`` (all layers concat=True including
+    the last, JK over post-activation features, final projection)."""
+    g, x = gx
+    tm = gnns.GATJK(x.shape[1], 8, N_CLASSES, num_layers=3, dropout=0.0,
+                    heads=2, jk_type=jk_type)
+    params, stats = {}, {}
+    for i, conv in enumerate(tm.convs):
+        params[f"conv_{i}"] = _map_gatconv(conv)
+    for i, bn in enumerate(tm.bns):
+        params[f"bn_{i}"], stats[f"bn_{i}"] = _bn(bn)
+    params["final"] = _lin(tm.final_project)
+    model = B.GATJK(8, N_CLASSES, num_layers=3, dropout=0.0, use_bn=True,
+                    heads=2, jk_type=jk_type)
+    got = _apply(model, _vars(params, stats), x, g, train=False)
+    np.testing.assert_allclose(got, _ref_out(tm, x, g), rtol=2e-4, atol=2e-5)
