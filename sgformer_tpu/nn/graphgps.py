@@ -5,33 +5,60 @@ attention with its own QKV/out projections."""
 
 from __future__ import annotations
 
+import math
+from typing import Optional
+
 import jax
 from flax import linen as nn
 
 from sgformer_tpu.nn.gcn import GCNConv
 from sgformer_tpu.nn.layers import Dropout, TorchLinear
 from sgformer_tpu.nn.norm import MaskedBatchNorm
-from sgformer_tpu.ops.attention_variants import performer_attention
+from sgformer_tpu.ops.attention_variants import (
+    create_projection_matrix,
+    performer_attention,
+)
 
 
 class PerformerSelfAttention(nn.Module):
+    """``performer_pytorch.SelfAttention`` equivalent (the reference's
+    global-attention block, ``graphgps.py:27-29``): FAVOR+ positive-random
+    -feature softmax attention.  Defaults mirror the package's: dim_head
+    is 64 REGARDLESS of ``dim`` (the reference never overrides it), the
+    feature count is ``int(dim_head·ln dim_head)``, QKV projections carry
+    no bias, the out projection does, kernel eps 1e-4.  The random
+    projection is drawn once at init and stored in ``batch_stats`` (the
+    package keeps it as a non-trainable module buffer; batch_stats is the
+    non-trainable state collection every trainer here already threads)."""
+
     dim: int
     heads: int = 4
+    dim_head: int = 64
+    nb_features: Optional[int] = None
+    dropout: float = 0.0  # SelfAttention's own out-dropout (attn_dropout)
 
     @nn.compact
-    def __call__(self, x):
-        h = self.heads
-        dh = self.dim // h
-        q = TorchLinear(self.dim, use_bias=False, name="to_q")(x).reshape(-1, h, dh)
-        k = TorchLinear(self.dim, use_bias=False, name="to_k")(x).reshape(-1, h, dh)
-        v = TorchLinear(self.dim, use_bias=False, name="to_v")(x).reshape(-1, h, dh)
-        key = (
-            self.make_rng("performer")
-            if self.has_rng("performer")
-            else jax.random.PRNGKey(0)
+    def __call__(self, x, *, train: bool = False):
+        h, dh = self.heads, self.dim_head
+        inner = h * dh
+        m = self.nb_features or int(dh * math.log(dh))
+        q = TorchLinear(inner, use_bias=False, name="to_q")(x).reshape(-1, h, dh)
+        k = TorchLinear(inner, use_bias=False, name="to_k")(x).reshape(-1, h, dh)
+        v = TorchLinear(inner, use_bias=False, name="to_v")(x).reshape(-1, h, dh)
+        proj = self.variable(
+            "batch_stats", "projection",
+            lambda: create_projection_matrix(
+                m, dh,
+                self.make_rng("params") if self.is_initializing()
+                else jax.random.PRNGKey(0),
+            ),
         )
-        out = performer_attention(q, k, v, key=key, tau=1.0)
-        return TorchLinear(self.dim, name="to_out")(out.reshape(-1, self.dim))
+        out = performer_attention(
+            q, k, v, projection=proj.value, tau=1.0,
+            numerical_stabilizer=1e-4,
+        )
+        out = TorchLinear(self.dim, name="to_out")(out.reshape(-1, inner))
+        return Dropout(self.dropout, deterministic=not train)(out)
 
 
 class GPSLayer(nn.Module):
@@ -54,7 +81,8 @@ class GPSLayer(nn.Module):
                 h_local, train=train, node_mask=node_mask
             )
         h_attn = PerformerSelfAttention(self.dim, heads=self.num_heads,
-                                        name="self_attn")(x)
+                                        dropout=self.attn_dropout,
+                                        name="self_attn")(x, train=train)
         h_attn = x + drop(h_attn)
         if self.use_bn:
             h_attn = MaskedBatchNorm(name="norm1_attn")(

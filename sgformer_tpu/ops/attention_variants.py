@@ -100,6 +100,7 @@ def performer_attention(
     tau: float = 0.25,
     edge_index: Optional[jax.Array] = None,
     projection: Optional[jax.Array] = None,
+    numerical_stabilizer: float = 1e-6,
 ):
     """NodeFormer's kernelized (Performer) softmax attention
     (``oursNF.py:113-150``): O(N·M) linear aggregation through positive
@@ -119,8 +120,12 @@ def performer_attention(
         proj = create_projection_matrix(m, d, key)
     q = qs / math.sqrt(tau)
     k = ks / math.sqrt(tau)
-    q_prime = softmax_kernel_transformation(q, True, proj)  # [N, H, M]
-    k_prime = softmax_kernel_transformation(k, False, proj)  # [L, H, M]
+    q_prime = softmax_kernel_transformation(
+        q, True, proj, numerical_stabilizer
+    )  # [N, H, M]
+    k_prime = softmax_kernel_transformation(
+        k, False, proj, numerical_stabilizer
+    )  # [L, H, M]
     kvs = jnp.einsum(
         "lhm,lhd->hmd", k_prime, vs, preferred_element_type=jnp.float32
     )

@@ -441,6 +441,84 @@ def _build_torch_geometric_nn(ts_mod):
     return nn_mod, conv_pkg, gcn_conv_mod
 
 
+def _build_performer_pytorch():
+    """``performer_pytorch.SelfAttention`` stand-in from the package's
+    documented FAVOR+ math (softmax positive random features, orthogonal
+    gaussian projection buffer, non-causal linear attention), NOT copied.
+    Mirrors the defaults the reference relies on at
+    ``medium/graphgps.py:27-29``: dim_head=64 regardless of dim,
+    nb_features=int(dim_head*ln(dim_head)), qkv bias off, out bias on,
+    eps=1e-4, projection drawn once at init and kept as a buffer."""
+    import math
+
+    import torch
+    import torch.nn as nn
+
+    def orthogonal_gaussian_matrix(nb_rows, nb_cols):
+        blocks = []
+        for _ in range(nb_rows // nb_cols):
+            q, _ = torch.linalg.qr(torch.randn(nb_cols, nb_cols))
+            blocks.append(q.t())
+        rem = nb_rows - (nb_rows // nb_cols) * nb_cols
+        if rem > 0:
+            q, _ = torch.linalg.qr(torch.randn(nb_cols, nb_cols))
+            blocks.append(q.t()[:rem])
+        final = torch.cat(blocks)
+        multiplier = torch.randn(nb_rows, nb_cols).norm(dim=1)
+        return torch.diag(multiplier) @ final
+
+    def softmax_kernel(data, projection, is_query, eps=1e-4):
+        # data: [b, h, n, d]; projection: [m, d]
+        normalizer = data.shape[-1] ** -0.25
+        ratio = projection.shape[0] ** -0.5
+        data_dash = torch.einsum(
+            "bhnd,md->bhnm", data * normalizer, projection
+        )
+        diag = (data ** 2).sum(-1, keepdim=True) / 2.0 * normalizer ** 2
+        if is_query:
+            stab = data_dash.amax(dim=-1, keepdim=True)
+        else:
+            stab = data_dash.amax(dim=(-1, -2), keepdim=True)
+        return ratio * (torch.exp(data_dash - diag - stab) + eps)
+
+    class SelfAttention(nn.Module):
+        def __init__(self, dim, causal=False, heads=8, dim_head=64,
+                     nb_features=None, dropout=0.0, qkv_bias=False,
+                     attn_out_bias=True, **kwargs):
+            super().__init__()
+            assert not causal, "shim covers the non-causal path only"
+            self.heads, self.dim_head = heads, dim_head
+            inner = heads * dim_head
+            m = nb_features or int(dim_head * math.log(dim_head))
+            self.to_q = nn.Linear(dim, inner, bias=qkv_bias)
+            self.to_k = nn.Linear(dim, inner, bias=qkv_bias)
+            self.to_v = nn.Linear(dim, inner, bias=qkv_bias)
+            self.to_out = nn.Linear(inner, dim, bias=attn_out_bias)
+            self.dropout = nn.Dropout(dropout)
+            self.register_buffer(
+                "projection_matrix", orthogonal_gaussian_matrix(m, dim_head)
+            )
+
+        def forward(self, x):
+            b, n, _ = x.shape
+            h, d = self.heads, self.dim_head
+            q = self.to_q(x).view(b, n, h, d).transpose(1, 2)
+            k = self.to_k(x).view(b, n, h, d).transpose(1, 2)
+            v = self.to_v(x).view(b, n, h, d).transpose(1, 2)
+            qp = softmax_kernel(q, self.projection_matrix, True)
+            kp = softmax_kernel(k, self.projection_matrix, False)
+            k_sum = kp.sum(dim=-2)  # [b, h, m]
+            d_inv = 1.0 / torch.einsum("bhnm,bhm->bhn", qp, k_sum)
+            context = torch.einsum("bhnm,bhnd->bhmd", kp, v)
+            out = torch.einsum("bhmd,bhnm,bhn->bhnd", context, qp, d_inv)
+            out = out.transpose(1, 2).reshape(b, n, h * d)
+            return self.dropout(self.to_out(out))
+
+    mod = types.ModuleType("performer_pytorch")
+    mod.SelfAttention = SelfAttention
+    return mod
+
+
 def install_shims() -> None:
     """Register shim modules for the missing CUDA packages (idempotent;
     no-ops if the real packages are importable)."""
@@ -463,6 +541,11 @@ def install_shims() -> None:
             sys.modules["torch_geometric.nn"] = nn_mod
             sys.modules["torch_geometric.nn.conv"] = conv_pkg
             sys.modules["torch_geometric.nn.conv.gcn_conv"] = gcn_conv_mod
+    if "performer_pytorch" not in sys.modules:
+        try:
+            import performer_pytorch  # noqa: F401
+        except ImportError:
+            sys.modules["performer_pytorch"] = _build_performer_pytorch()
     if "google_drive_downloader" not in sys.modules:
         try:
             import google_drive_downloader  # noqa: F401

@@ -441,3 +441,76 @@ def test_graphormer_model_parity():
                     train=False)
     )
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+
+
+# ---------------------------------------------------------------------------
+# GraphGPS: full-model forward under the performer_pytorch shim
+# ---------------------------------------------------------------------------
+
+
+def test_graphgps_model_parity():
+    """``medium/graphgps.py`` (GPSModel) executing under the round-4
+    ``performer_pytorch.SelfAttention`` shim vs our ``GraphGPS``, with
+    copied weights AND the shim's random projection buffer injected into
+    our ``batch_stats`` (the package keeps it as a module buffer;
+    graphgps.py:27-29 relies on the dim_head=64 default)."""
+    ref_gps = load_reference("medium/graphgps.py", "ref_graphgps")
+    from sgformer_tpu.nn.graphgps import GraphGPS
+
+    rng = np.random.default_rng(7)
+    n, f, hidden, classes, heads, L = 40, 10, 12, 4, 2, 2
+    edge_index = np.stack(
+        [rng.integers(0, n, 150), rng.integers(0, n, 150)]
+    ).astype(np.int64)
+    g = preprocess_graph(edge_index, n, with_pyg_norm=True)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+
+    tm = ref_gps.GPSModel(f, classes, hidden, L, heads, dropout=0.0,
+                          attn_dropout=0.0, use_bn=True)
+    tm.eval()
+    data = types.SimpleNamespace(
+        graph={"node_feat": _t(x), "edge_index": _t(np.asarray(g.edge_index))}
+    )
+    with torch.no_grad():
+        want = tm(data).numpy()
+
+    def _bn(mod):
+        return (
+            {"scale": jnp.array(mod.weight.detach().numpy()),
+             "bias": jnp.array(mod.bias.detach().numpy())},
+            {"mean": jnp.array(mod.running_mean.detach().numpy()),
+             "var": jnp.array(mod.running_var.detach().numpy())},
+        )
+
+    params = {"pre_mp": _lin(tm.pre_mp), "post_mp": _lin(tm.post_mp)}
+    stats = {}
+    for i, layer in enumerate(tm.layers):
+        lp, ls = {}, {}
+        lp["local"] = {
+            "kernel": jnp.array(layer.local_model.weight.detach().numpy()),
+            "bias": jnp.array(layer.local_model.bias.detach().numpy()),
+        }
+        attn = {"to_out": _lin(layer.self_attn.to_out)}
+        for nm in ("to_q", "to_k", "to_v"):
+            mod = getattr(layer.self_attn, nm)
+            attn[nm] = {"kernel": jnp.array(mod.weight.detach().numpy().T)}
+        lp["self_attn"] = attn
+        ls["self_attn"] = {
+            "projection": jnp.array(
+                layer.self_attn.projection_matrix.detach().numpy()
+            )
+        }
+        for nm in ("norm1_local", "norm1_attn", "norm2"):
+            lp[nm], ls[nm] = _bn(getattr(layer, nm))
+        lp["ff1"] = _lin(layer.ff_linear1)
+        lp["ff2"] = _lin(layer.ff_linear2)
+        params[f"layer_{i}"] = lp
+        stats[f"layer_{i}"] = ls
+
+    model = GraphGPS(hidden, classes, num_layers=L, num_heads=heads,
+                     dropout=0.0, attn_dropout=0.0, use_bn=True)
+    got = np.asarray(
+        model.apply({"params": params, "batch_stats": stats},
+                    jnp.asarray(x), g, train=False)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
