@@ -20,6 +20,8 @@
 #include <vector>
 #include <thread>
 #include <atomic>
+#include <queue>
+#include <tuple>
 
 extern "C" {
 
@@ -373,6 +375,133 @@ int64_t lpa_cluster(const int64_t* src, const int64_t* dst, int64_t n_edges,
   }
   std::memcpy(labels_out, labels.data(), sizeof(int64_t) * n_nodes);
   return sweep;
+}
+
+// ---------------------------------------------------------------------------
+// Chunk-plan fill with IN-KERNEL per-window src sort (threaded)
+// (replaces the host-side np.lexsort((src, dst // W)) + 4-array reindex
+// that dominated remote-plan builds — 6 s of the 1M-node prep.  Edges
+// arrive dst-sorted; each window's span is stable-sorted by src here, so
+// the output is bit-identical to the lexsort path: equal-src ties keep
+// their dst-sorted order.)
+// ---------------------------------------------------------------------------
+
+void fill_chunks_sorted(const int64_t* indptr, const int32_t* src,
+                        const int32_t* dst, const float* weight,
+                        int64_t n_nodes, int64_t W, int64_t C,
+                        int32_t* out_gather, int32_t* out_dst, float* out_w,
+                        int32_t* out_wid) {
+  int64_t n_windows = (n_nodes + W - 1) / W;
+  std::vector<int64_t> coff(n_windows + 1, 0);
+  for (int64_t w = 0; w < n_windows; ++w) {
+    int64_t lo = w * W, hi = std::min((w + 1) * W, n_nodes);
+    int64_t e = indptr[hi] - indptr[lo];
+    coff[w + 1] = coff[w] + std::max<int64_t>(1, (e + C - 1) / C);
+  }
+  auto work = [&](int64_t wlo, int64_t whi) {
+    std::vector<int64_t> idx;
+    for (int64_t w = wlo; w < whi; ++w) {
+      int64_t lo = w * W, hi = std::min((w + 1) * W, n_nodes);
+      int64_t e0 = indptr[lo], e1 = indptr[hi];
+      int64_t ne = e1 - e0;
+      idx.resize(ne);
+      for (int64_t e = 0; e < ne; ++e) idx[e] = e0 + e;
+      std::stable_sort(idx.begin(), idx.end(),
+                       [&](int64_t a, int64_t b) { return src[a] < src[b]; });
+      int64_t chunk0 = coff[w];
+      int64_t n_chunks_w = std::max<int64_t>(1, (ne + C - 1) / C);
+      for (int64_t c = 0; c < n_chunks_w; ++c) {
+        int64_t a = c * C, b = std::min(a + C, ne);
+        int64_t base = (chunk0 + c) * C;
+        for (int64_t k = a; k < b; ++k) {
+          int64_t e = idx[k];
+          out_gather[base + k - a] = src[e];
+          out_dst[base + k - a] = (int32_t)(dst[e] - lo);
+          out_w[base + k - a] = weight[e];
+        }
+        out_wid[chunk0 + c] = (int32_t)w;
+      }
+    }
+  };
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? (int64_t)hw : 4;
+  if (n_threads > n_windows) n_threads = n_windows > 0 ? n_windows : 1;
+  if (n_threads <= 1) {
+    work(0, n_windows);
+  } else {
+    std::vector<std::thread> ts;
+    int64_t per = (n_windows + n_threads - 1) / n_threads;
+    for (int64_t t = 0; t < n_threads; ++t) {
+      int64_t lo = t * per, hi = std::min(n_windows, lo + per);
+      if (lo < hi) ts.emplace_back(work, lo, hi);
+    }
+    for (auto& t : ts) t.join();
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Boundary-aware best-fit-decreasing cluster packing
+// (slabs.py::cluster_pack_perm's exact algorithm — the python heapq loop is
+// ~20 s of the 1M-node prep at ~600K LPA clusters; this is the same
+// deterministic control flow: max-heap ordered by (size desc, cluster asc,
+// offset asc), split the largest pending cluster exactly at the slab
+// boundary when nothing fits.  Output is bit-identical to the python
+// version, which stays as the no-toolchain fallback and oracle.)
+// ---------------------------------------------------------------------------
+
+void cluster_pack(const int64_t* clusters, int64_t n_nodes,
+                  int64_t slab_rows, int64_t* perm_out) {
+  if (n_nodes <= 0) return;
+  int64_t n_clusters = 0;
+  for (int64_t i = 0; i < n_nodes; ++i)
+    n_clusters = std::max(n_clusters, clusters[i] + 1);
+  std::vector<int64_t> sizes(n_clusters, 0);
+  for (int64_t i = 0; i < n_nodes; ++i) sizes[clusters[i]]++;
+  std::vector<int64_t> starts(n_clusters + 1, 0);
+  for (int64_t c = 0; c < n_clusters; ++c) starts[c + 1] = starts[c] + sizes[c];
+  // stable counting sort of node ids by cluster (np.argsort(kind=stable))
+  std::vector<int64_t> order(n_nodes);
+  {
+    std::vector<int64_t> pos(starts.begin(), starts.end() - 1);
+    for (int64_t i = 0; i < n_nodes; ++i) order[pos[clusters[i]]++] = i;
+  }
+  // heap entries mirror python's (-size, cluster, off) tuples: pop order is
+  // size desc, then cluster asc, then off asc
+  using Ent = std::tuple<int64_t, int64_t, int64_t>;
+  std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
+  for (int64_t c = 0; c < n_clusters; ++c)
+    if (sizes[c] > 0) heap.emplace(-sizes[c], c, 0);
+  std::vector<Ent> pending;  // (size, cluster, off), descending pop order
+  int64_t out = 0;
+  int64_t remaining = slab_rows;
+  while (!heap.empty() || !pending.empty()) {
+    while (!heap.empty()) {
+      auto [neg, c, off] = heap.top();
+      heap.pop();
+      int64_t size = -neg;
+      if (size <= remaining) {
+        std::memcpy(perm_out + out, order.data() + starts[c] + off,
+                    sizeof(int64_t) * size);
+        out += size;
+        remaining -= size;
+        if (remaining == 0) break;
+      } else {
+        pending.emplace_back(size, c, off);
+      }
+    }
+    if (remaining > 0 && !pending.empty()) {
+      auto [size, c, off] = pending.front();
+      pending.erase(pending.begin());
+      std::memcpy(perm_out + out, order.data() + starts[c] + off,
+                  sizeof(int64_t) * remaining);
+      out += remaining;
+      pending.emplace_back(size - remaining, c, off + remaining);
+      remaining = 0;
+    }
+    for (auto& [size, c, off] : pending) heap.emplace(-size, c, off);
+    pending.clear();
+    remaining = slab_rows;
+  }
 }
 
 }  // extern "C"

@@ -285,6 +285,12 @@ def preprocess_graph(
         from sgformer_tpu.kernels.slabs import build_slabs
 
         geo = dict(slab_geometry or {})
+        if undirected:
+            # to_undirected closed the edge set under transpose and both
+            # norm formulas are symmetric in (src, dst), so A == Aᵀ holds
+            # by construction — skip _is_symmetric's two O(E log E) sorts
+            # (8 s of the 1M-node prep)
+            geo.setdefault("symmetric", True)
         if spmm_mode == "ssel":
             geo.setdefault("stream_sel", chunk_dtype)
             if chunk_dtype == "bf16":

@@ -214,27 +214,50 @@ def _build_plan(
     edge positions back to the caller's original ids (for transpose plans
     built from re-sorted edges)."""
     C, W = chunk_edges, window_rows
-    ids = (
-        np.asarray(input_ids)
-        if input_ids is not None
-        else np.arange(len(src), dtype=np.int64)
-    )
+    n_windows = -(-num_nodes // W)
     # Within a window the edge order is free (the selector matmul
     # accumulates any permutation identically), so re-sort each window's
     # edges by SOURCE: the kernel's per-edge gather then reads HBM in
     # ascending address order, which the memory system rewards.
-    if len(src):
-        order = np.lexsort((src, dst // W))
-        src, dst, weight, ids = src[order], dst[order], weight[order], ids[order]
-    n_windows = -(-num_nodes // W)
-    indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
-    np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
-
-    from sgformer_tpu.native.api import fill_chunk_plan_native
-
-    native = fill_chunk_plan_native(
-        indptr, src, dst, weight, n_windows * W, W, C
+    #
+    # Fast path (no edge-perm needed): edges are already dst-sorted, so
+    # indptr is independent of the in-window order and the per-window src
+    # sort happens INSIDE the threaded C++ fill (bit-identical plan;
+    # skips the host lexsort + reindex, 6 s of the 1M-node prep).
+    from sgformer_tpu.native.api import (
+        fill_chunk_plan_native,
+        fill_chunk_plan_sorted_native,
     )
+
+    native = None
+    if input_ids is None and not with_perm:
+        indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
+        np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
+        native = fill_chunk_plan_sorted_native(
+            indptr, src, dst, weight, n_windows * W, W, C
+        )
+        ids = None
+    if native is None:
+        ids = (
+            np.asarray(input_ids)
+            if input_ids is not None
+            else np.arange(len(src), dtype=np.int64)
+        )
+        if len(src):
+            # one combined-key stable sort (3x cheaper than lexsort's
+            # two passes at 10M edges)
+            order = np.argsort(
+                (dst // W).astype(np.int64) * np.int64(num_nodes) + src,
+                kind="stable",
+            )
+            src, dst, weight, ids = (
+                src[order], dst[order], weight[order], ids[order]
+            )
+        indptr = np.zeros(n_windows * W + 1, dtype=np.int64)
+        np.cumsum(np.bincount(dst, minlength=n_windows * W), out=indptr[1:])
+        native = fill_chunk_plan_native(
+            indptr, src, dst, weight, n_windows * W, W, C
+        )
     if native is not None:
         g, ld, wt, wid = native
         perm = (

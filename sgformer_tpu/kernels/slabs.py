@@ -78,16 +78,27 @@ def label_propagation(
     return labels
 
 
-def cluster_pack_perm(clusters: np.ndarray, slab_rows: int) -> np.ndarray:
+def cluster_pack_perm(
+    clusters: np.ndarray, slab_rows: int, use_native: bool = True
+) -> np.ndarray:
     """Boundary-aware best-fit-decreasing packing: fill each slab with the
     largest remaining clusters that fit; when nothing fits, split the
     largest cluster exactly at the boundary (its two pieces stay
     contiguous, so only that cluster's cross-piece edges go remote).
     Slabs are fixed [i*slab_rows, (i+1)*slab_rows) ranges of the new
-    order.  Returns ``perm`` with ``perm[new_id] = old_id``."""
+    order.  Returns ``perm`` with ``perm[new_id] = old_id``.  The C++
+    port (csrc ``cluster_pack``) runs the identical algorithm ~50x
+    faster; this python loop is the no-toolchain fallback and oracle
+    (``tests/test_native.py`` asserts bit-equality)."""
     import heapq
 
     clusters = np.asarray(clusters)
+    if use_native:
+        from sgformer_tpu.native.api import cluster_pack_native
+
+        native = cluster_pack_native(clusters, slab_rows)
+        if native is not None:
+            return native
     sizes = np.bincount(clusters)
     order_in_cluster = np.argsort(clusters, kind="stable")
     starts = np.zeros(len(sizes) + 1, dtype=np.int64)
@@ -346,13 +357,14 @@ def _build_side(
     # DMA cost), and even a 2-edge hub chunk beats two 9.7 ns/edge remote
     # gathers on slot+dot cost
     if min_pair > 1:
-        key = win * (R // B + hub_rows // B + 1) + np.where(
-            local_any, sub_all, 0
-        )
-        uniq, inv, cnt = np.unique(key[local_any], return_inverse=True,
-                                   return_counts=True)
+        # the (window, sub) key range is small (~n_windows * subs), so a
+        # dense bincount beats np.unique's O(E log E) sort at scale
+        n_subs = R // B + hub_rows // B + 1
+        key = win * n_subs + np.where(local_any, sub_all, 0)
+        cnt = np.bincount(key[local_any], minlength=n_windows * n_subs)
         small = np.zeros(len(src), dtype=bool)
-        small[local_any] = cnt[inv] < min_pair
+        la = np.flatnonzero(local_any)
+        small[la] = cnt[key[la]] < min_pair
         local_any = local_any & ~(small & ~is_hub)
     ls, ld, lw = src[local_any], dst[local_any], weight[local_any]
     rs, rd, rw = src[~local_any], dst[~local_any], weight[~local_any]
@@ -361,7 +373,12 @@ def _build_side(
     lwin = ld // W
     lsub = sub_all[local_any]
     ls_rel = rel_all[local_any]
-    order = np.lexsort((ls, lsub, lwin))
+    # one combined-key stable sort instead of lexsort's three passes
+    # (ls < n_pad, lsub < n_subs: the packed key stays well inside int64)
+    order = np.argsort(
+        (lwin * (R // B + hub_rows // B + 1) + lsub) * n_pad + ls,
+        kind="stable",
+    )
     ls, ld, lw, lwin, lsub, ls_rel = (
         ls[order], ld[order], lw[order], lwin[order], lsub[order],
         ls_rel[order],
@@ -376,11 +393,16 @@ def _build_side(
         pos_in_group = np.arange(n_local) - np.maximum.accumulate(
             np.where(new_group, np.arange(n_local), 0)
         )
-        chunk_of_edge = np.stack([group_id, pos_in_group // C])
-        # unique chunk per (group, k)
-        ckey = group_id * (1 + pos_in_group.max() // C + 1) + pos_in_group // C
-        _, chunk_idx, slot = np.unique(ckey, return_index=True,
-                                       return_inverse=True)
+        # chunk boundaries: new group OR crossing a C-edge multiple —
+        # the edges are already in (group, pos) order, so boundaries are
+        # found by adjacent comparison (no O(E log E) np.unique sort)
+        new_chunk = np.empty(n_local, dtype=bool)
+        new_chunk[0] = True
+        new_chunk[1:] = new_group[1:] | (
+            pos_in_group[1:] // C != pos_in_group[:-1] // C
+        )
+        chunk_idx = np.flatnonzero(new_chunk)
+        slot = np.cumsum(new_chunk) - 1  # chunk id per edge
         n_chunks = len(chunk_idx)
         chunk_win = lwin[chunk_idx]
         chunk_sub = lsub[chunk_idx]
@@ -401,26 +423,28 @@ def _build_side(
     # meta mode: EVERY window emits >= 1 step (its out block must be
     # written).  stream_sel mode: the kernel aliases ``prev`` onto the
     # output, so chunk-less windows are SKIPPED entirely (their rows pass
-    # through untouched) — ~20% of grid steps on the bench graph. ----
-    steps_win, steps_chunks = [], []  # per step: window, list of chunk ids
-    ci = 0
-    for w in range(n_windows):
-        any_step = False
-        while ci < n_chunks and chunk_win[ci] == w:
-            take = []
-            while ci < n_chunks and chunk_win[ci] == w and len(take) < Q:
-                take.append(ci)
-                ci += 1
-            steps_win.append(w)
-            steps_chunks.append(take)
-            any_step = True
-        if not any_step and stream_sel is None:
-            steps_win.append(w)
-            steps_chunks.append([])
-    if not steps_win:  # degenerate: no local edges at all
-        steps_win.append(0)
-        steps_chunks.append([])
+    # through untouched) — ~20% of grid steps on the bench graph.
+    # Vectorized (round 4): chunks arrive sorted by window, so each
+    # chunk's step is its position-within-window // Q plus the window's
+    # step offset — no python loop over windows/chunks. ----
+    cnt_w = np.bincount(chunk_win, minlength=n_windows) if n_chunks else (
+        np.zeros(n_windows, dtype=np.int64)
+    )
+    steps_per_w = -(-cnt_w // Q)
+    if stream_sel is None:
+        steps_per_w = np.maximum(steps_per_w, 1)
+    step_off = np.zeros(n_windows + 1, dtype=np.int64)
+    np.cumsum(steps_per_w, out=step_off[1:])
+    steps_win = np.repeat(np.arange(n_windows, dtype=np.int64), steps_per_w)
+    if len(steps_win) == 0:  # degenerate: no local edges at all
+        steps_win = np.zeros(1, dtype=np.int64)
     n_steps = len(steps_win)
+    if n_chunks:
+        w_start = np.zeros(n_windows + 1, dtype=np.int64)
+        np.cumsum(cnt_w, out=w_start[1:])
+        pos_in_w = np.arange(n_chunks) - w_start[chunk_win]
+        chunk_step = step_off[chunk_win] + pos_in_w // Q
+        chunk_q = pos_in_w % Q
 
     subblock = np.zeros((n_steps, 1, Q), dtype=np.int32)
     if stream_sel is not None:
@@ -447,14 +471,7 @@ def _build_side(
         ldst_a = np.zeros((n_steps, Q, C), dtype=np.int32)
         wgt_a = np.zeros((n_steps, Q, C), dtype=np.float32)
     if n_local:
-        # chunk -> (step, q) mapping
-        chunk_step = np.zeros(n_chunks, dtype=np.int64)
-        chunk_q = np.zeros(n_chunks, dtype=np.int64)
-        for s, take in enumerate(steps_chunks):
-            for q, c in enumerate(take):
-                chunk_step[c] = s
-                chunk_q[c] = q
-        e_chunk = slot  # chunk id per edge (via unique inverse)
+        e_chunk = slot  # chunk id per edge (cumsum of chunk boundaries)
         e_step = chunk_step[e_chunk]
         e_q = chunk_q[e_chunk]
         subblock[chunk_step, 0, chunk_q] = chunk_sub.astype(np.int32)
@@ -659,6 +676,8 @@ def reorder_for_slabs(
     slab_rows: int = 8192,
     iters: int = 40,
     seed: int = 0,
+    restarts: int = 4,
+    score_sample: int = 2_000_000,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cluster + pack: returns ``(perm, inv)`` with ``perm[new] = old``
     and ``inv[old] = new``.  Relabel edges as ``inv[src], inv[dst]`` and
@@ -667,6 +686,7 @@ def reorder_for_slabs(
     # self-loops bias every node toward keeping its own label and stall
     # convergence — cluster on the loop-free edge list
     m = src != dst
+    srcm, dstm = src[m], dst[m]
     from sgformer_tpu.native.api import lpa_cluster_native
 
     # C++ threaded sweeps: ~43x the numpy lexsort version (57 s -> 1.3 s on
@@ -675,11 +695,29 @@ def reorder_for_slabs(
     # across seeds on the bench graph), so take the best of ``restarts``
     # by same-cluster edge fraction.  numpy stays as the no-toolchain
     # fallback and quality oracle (single seed: it costs minutes).
+    #
+    # Large-graph cost controls (round 4, the 1M-node prep wall):
+    # * restarts SCOUT with 12 sweeps each — label quality saturates by
+    #   ~16 sweeps (measured on a planted-partition 1M graph: locality
+    #   0.20@8 / 0.799@16 / 0.801@40) and only the seed RANKING matters;
+    #   the winner re-runs at min(iters, 24).  Full 40-sweep restarts
+    #   were 45 s of the 136 s 1M-node prep.
+    # * locality is scored on a ~``score_sample``-edge stride sample
+    #   (restart spread is ~2 pp; a 2M sample has <0.1 pp noise).
+    if len(srcm) > score_sample:
+        stride = len(srcm) // score_sample
+        s_src, s_dst = srcm[::stride], dstm[::stride]
+    else:
+        s_src, s_dst = srcm, dstm
+    large = num_nodes > 300_000
+    scout_iters = iters if not large else min(iters, 12)
+    final_iters = iters if not large else min(iters, 24)
     clusters = None
     best = -1.0
-    for r in range(4):
+    best_seed = seed
+    for r in range(restarts):
         c = lpa_cluster_native(
-            src[m], dst[m], num_nodes, iters, num_nodes + 1, seed + r
+            srcm, dstm, num_nodes, scout_iters, num_nodes + 1, seed + r
         )
         if c is None:
             break
@@ -689,13 +727,17 @@ def reorder_for_slabs(
         p = cluster_pack_perm(c, slab_rows)
         iv = np.empty(num_nodes, dtype=np.int64)
         iv[p] = np.arange(num_nodes)
-        loc = locality_fraction(iv[src], iv[dst], slab_rows)
+        loc = locality_fraction(iv[s_src], iv[s_dst], slab_rows)
         if loc > best:
-            best, clusters = loc, c
+            best, clusters, best_seed = loc, c, seed + r
     if clusters is None:
         clusters = label_propagation(
-            src[m], dst[m], num_nodes, iters=iters,
+            srcm, dstm, num_nodes, iters=iters,
             max_size=num_nodes + 1, seed=seed,
+        )
+    elif scout_iters < final_iters:
+        clusters = lpa_cluster_native(
+            srcm, dstm, num_nodes, final_iters, num_nodes + 1, best_seed
         )
     perm = cluster_pack_perm(clusters, slab_rows)
     inv = np.empty(num_nodes, dtype=np.int64)

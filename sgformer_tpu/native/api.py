@@ -54,6 +54,52 @@ def fill_chunk_plan_native(
     return gather, ldst, w, wid
 
 
+def fill_chunk_plan_sorted_native(
+    indptr: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    weight: np.ndarray,
+    num_nodes: int,
+    window_rows: int,
+    chunk_edges: int,
+):
+    """Like :func:`fill_chunk_plan_native` but sorts each window's edge
+    span by src INSIDE the (threaded) C++ fill — callers pass dst-sorted
+    edges directly and skip the host-side ``np.lexsort((src, dst // W))``
+    + 4-array reindex (6 s of the 1M-node prep).  The stable in-window
+    sort keeps equal-src ties in dst order, so the plan is bit-identical
+    to the lexsort path.  Returns None when the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    weight = np.ascontiguousarray(weight, dtype=np.float32)
+    n_chunks = int(
+        lib.count_chunks(_ptr(indptr, ctypes.c_int64), num_nodes,
+                         window_rows, chunk_edges)
+    )
+    gather = np.zeros((n_chunks, chunk_edges), dtype=np.int32)
+    ldst = np.zeros((n_chunks, chunk_edges), dtype=np.int32)
+    w = np.zeros((n_chunks, chunk_edges), dtype=np.float32)
+    wid = np.zeros(n_chunks, dtype=np.int32)
+    lib.fill_chunks_sorted(
+        _ptr(indptr, ctypes.c_int64),
+        _ptr(src, ctypes.c_int32),
+        _ptr(dst, ctypes.c_int32),
+        _ptr(weight, ctypes.c_float),
+        num_nodes,
+        window_rows,
+        chunk_edges,
+        _ptr(gather, ctypes.c_int32),
+        _ptr(ldst, ctypes.c_int32),
+        _ptr(w, ctypes.c_float),
+        _ptr(wid, ctypes.c_int32),
+    )
+    return gather, ldst, w, wid
+
+
 def sample_neighbors_native(
     indptr: np.ndarray,
     indices: np.ndarray,
@@ -163,3 +209,22 @@ def lpa_cluster_native(
     )
     _, labels = np.unique(labels, return_inverse=True)
     return labels
+
+
+def cluster_pack_native(clusters: np.ndarray, slab_rows: int):
+    """C++ boundary-aware best-fit-decreasing packing (csrc
+    ``cluster_pack``): bit-identical to ``slabs.cluster_pack_perm``'s
+    python heapq loop (which was ~20 s of the 1M-node prep).  Returns the
+    perm, or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    clusters = np.ascontiguousarray(clusters, dtype=np.int64)
+    perm = np.empty(len(clusters), dtype=np.int64)
+    lib.cluster_pack(
+        _ptr(clusters, ctypes.c_int64),
+        len(clusters),
+        slab_rows,
+        _ptr(perm, ctypes.c_int64),
+    )
+    return perm

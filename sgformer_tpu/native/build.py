@@ -82,6 +82,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.lpa_cluster.argtypes = [
             P(i64), P(i64), i64, i64, i64, i64, u64, P(i64),
         ]
+        lib.cluster_pack.restype = None
+        lib.cluster_pack.argtypes = [P(i64), i64, i64, P(i64)]
+        lib.fill_chunks_sorted.restype = None
+        lib.fill_chunks_sorted.argtypes = [
+            P(i64), P(i32), P(i32), P(f32), i64, i64, i64,
+            P(i32), P(i32), P(f32), P(i32),
+        ]
         _LIB = lib
         return _LIB
 

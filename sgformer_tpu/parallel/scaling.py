@@ -18,7 +18,8 @@ import numpy as np
 
 
 def measure(n_devices: int, num_nodes: int, num_edges: int, hidden: int,
-            steps: int = 10) -> dict:
+            steps: int = 10, powerlaw: float = 0.0,
+            use_halo: bool = False, reorder: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -37,9 +38,11 @@ def measure(n_devices: int, num_nodes: int, num_edges: int, hidden: int,
     devs = jax.devices()[:n_devices]
     mesh = make_mesh((n_devices,), ("sp",), devices=devs)
     ds = synthetic_dataset(num_nodes=num_nodes, num_edges=num_edges,
-                           num_features=128, num_classes=16, seed=0)
-    graph = preprocess_graph(ds.graph["edge_index"], num_nodes)
-    sg = partition_graph(graph, n_devices, "sp")
+                           num_features=128, num_classes=16, seed=0,
+                           powerlaw=powerlaw)
+    graph = preprocess_graph(ds.graph["edge_index"], num_nodes,
+                             reorder=reorder)
+    sg = partition_graph(graph, n_devices, "sp", with_halo=use_halo)
 
     model = SGFormer(SGFormerConfig.large(hidden, 16, axis_name="sp"))
     x = jnp.asarray(pad_to_shards(ds.graph["node_feat"], sg.total_nodes))
@@ -88,6 +91,9 @@ def main(argv=None):
     p.add_argument("--edges", type=int, default=800_000)
     p.add_argument("--hidden", type=int, default=128)
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--powerlaw", type=float, default=0.0)
+    p.add_argument("--halo", action="store_true")
+    p.add_argument("--reorder", action="store_true")
     args = p.parse_args(argv)
     if args.platform:
         import jax
@@ -95,7 +101,9 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     results = []
     for n in args.devices:
-        r = measure(n, args.nodes, args.edges, args.hidden)
+        r = measure(n, args.nodes, args.edges, args.hidden,
+                    powerlaw=args.powerlaw, use_halo=args.halo,
+                    reorder=args.reorder)
         results.append(r)
         print(json.dumps(r))
     if len(results) > 1:

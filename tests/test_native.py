@@ -109,3 +109,46 @@ def test_lpa_cluster_native_recovers_planted_partition():
     # deterministic per seed
     again = lpa_cluster_native(s2, d2, n, 40, n + 1, 0)
     np.testing.assert_array_equal(labels, again)
+
+
+def test_cluster_pack_native_matches_python():
+    """csrc ``cluster_pack`` vs the python heapq oracle — bit-identical
+    perms (same heap order, same boundary splits) across cluster-count
+    regimes including single-cluster and all-singleton."""
+    from sgformer_tpu.kernels.slabs import cluster_pack_perm
+
+    rng = np.random.default_rng(0)
+    for n, k, rows in [(1000, 50, 128), (10000, 700, 512),
+                       (5000, 5000, 256), (777, 3, 100), (64, 1, 64)]:
+        c = rng.integers(0, k, n)
+        a = cluster_pack_perm(c, rows, use_native=True)
+        b = cluster_pack_perm(c, rows, use_native=False)
+        assert np.array_equal(a, b), (n, k, rows)
+        assert np.array_equal(np.sort(a), np.arange(n))
+
+
+def test_fill_chunks_sorted_matches_lexsort_path():
+    """csrc ``fill_chunks_sorted`` (in-kernel per-window src sort) vs the
+    host ``lexsort((src, dst // W))`` + plain fill — bit-identical plans
+    (the stable in-window sort keeps equal-src ties in dst order)."""
+    from sgformer_tpu.native.api import (
+        fill_chunk_plan_native,
+        fill_chunk_plan_sorted_native,
+    )
+
+    rng = np.random.default_rng(1)
+    for E, n, W, C in [(5000, 900, 128, 64), (100000, 8192, 512, 512),
+                       (300, 50, 16, 8)]:
+        src = rng.integers(0, n, E)
+        dst = np.sort(rng.integers(0, n, E))
+        w = rng.random(E).astype(np.float32)
+        nw = -(-n // W)
+        indptr = np.zeros(nw * W + 1, np.int64)
+        np.cumsum(np.bincount(dst, minlength=nw * W), out=indptr[1:])
+        order = np.lexsort((src, dst // W))
+        a = fill_chunk_plan_native(indptr, src[order], dst[order], w[order],
+                                   nw * W, W, C)
+        b = fill_chunk_plan_sorted_native(indptr, src, dst, w, nw * W, W, C)
+        assert a is not None and b is not None
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)

@@ -31,11 +31,16 @@ from sgformer_tpu.train import TrainConfig, Trainer  # noqa: E402
 def test_full_recipe_convergence_matches_reference():
     ref_large = load_reference("large/ours.py", "ref_large_ours_conv")
 
-    # a non-trivial synthetic: enough feature noise that accuracy is
-    # meaningfully below 100% and regularization matters
+    # a non-trivial synthetic tuned so best-val test accuracy lands ~73%
+    # (the arxiv-like band — a 97%-ceiling task gave drift bounds no
+    # resolution, round-3 VERDICT weak #6/7).  4000 nodes keeps the
+    # per-run eval noise small (test-split binomial std ~0.013 at 1000
+    # test nodes; measured per-run std 0.007), so the 1.5 pp bound below
+    # sits >4 sigma from the measured 0.3 pp gap over 8 runs — tight
+    # without flake.
     ds = synthetic_dataset(
-        num_nodes=800, num_edges=4000, num_features=24, num_classes=5,
-        seed=3, feature_scale=0.35, homophily=0.6,
+        num_nodes=4000, num_edges=20000, num_features=24, num_classes=5,
+        seed=3, feature_scale=0.18, homophily=0.45,
     )
     n = ds.graph["num_nodes"]
     g = preprocess_graph(ds.graph["edge_index"], n)
@@ -45,7 +50,7 @@ def test_full_recipe_convergence_matches_reference():
 
     hidden, classes = 32, 5
     lr, trans_wd, gnn_wd, dropout = 0.01, 1e-3, 1e-3, 0.5
-    epochs, runs = 120, 2
+    epochs, runs = 120, 8
     kw = dict(
         trans_num_layers=1, trans_num_heads=1, trans_dropout=dropout,
         gnn_num_layers=2, gnn_dropout=dropout,
@@ -99,7 +104,7 @@ def test_full_recipe_convergence_matches_reference():
     ours = [logger.run_summary(r)["final_test"] for r in range(runs)]
 
     ref_mean, ours_mean = float(np.mean(ref_accs)), float(np.mean(ours))
-    assert abs(ref_mean - ours_mean) < 0.04, (
+    assert abs(ref_mean - ours_mean) < 0.015, (
         f"final test accuracy diverged: reference {ref_mean:.3f} "
         f"(runs {ref_accs}) vs ours {ours_mean:.3f} (runs {ours})"
     )
