@@ -165,6 +165,29 @@ def main():
     ))(x, g_q8.chunks)
     check("q8_spmm grad bf16", g_got, g_want, 4e-2)
 
+    # ---- int8 slab with F NOT a multiple of 128 (internal feature
+    # padding, round 4: 'auto'-selected int8 must work at any hidden) ----
+    x192 = jnp.asarray(rng.standard_normal((N, 192)), dtype=jnp.float32)
+    co192 = jnp.asarray(rng.standard_normal((N, 192)), dtype=jnp.float32)
+    want192 = jax.jit(
+        lambda xx: spmm(xx, g_q8.edge_src, g_q8.edge_dst,
+                        g_q8.gcn_weight, N)
+    )(x192)
+    got192 = jax.jit(
+        lambda xx, ch: slab_spmm(xx, ch, compute_dtype=jnp.bfloat16)
+    )(x192, g_q8.chunks)
+    check("q8_spmm fwd bf16 F=192 (padded)", got192, want192, 4e-2)
+    gw192 = jax.jit(jax.grad(lambda xx: jnp.sum(jax.jit(
+        lambda yy: spmm(yy, g_q8.edge_src, g_q8.edge_dst,
+                        g_q8.gcn_weight, N))(xx) * co192)))(x192)
+    gg192 = jax.jit(jax.grad(
+        lambda xx, ch: jnp.sum(
+            slab_spmm(xx, ch, compute_dtype=jnp.bfloat16) * co192
+        ),
+        argnums=0,
+    ))(x192, g_q8.chunks)
+    check("q8_spmm grad bf16 F=192 (padded)", gg192, gw192, 4e-2)
+
     # ---- hub-resident scratch tail (power-law mode), f32 exact ----
     g_hub = preprocess_graph(ei, N, with_chunks=True, spmm_mode="ssel",
                              chunk_dtype="f32", slab_rows=2048,

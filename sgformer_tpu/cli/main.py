@@ -129,6 +129,11 @@ def main(argv=None):
             geo["hub_rows"] = args.hub_rows
         if getattr(args, "slab_int8", False):
             geo["slab_dtype"] = "int8"
+        elif getattr(args, "slab_dtype", None):
+            # 'bf16' forces the compute-dtype slab (auto opt-out)
+            geo["slab_dtype"] = (
+                "compute" if args.slab_dtype == "bf16" else args.slab_dtype
+            )
         graph = preprocess_graph(
             ds.graph["edge_index"], n, undirected=undirected,
             with_pyg_norm=needs_pyg, with_chunks=args.use_pallas,

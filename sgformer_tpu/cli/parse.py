@@ -123,6 +123,12 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
                              "-1 = auto: enable the measured 16K-slab + "
                              "6144-tail geometry when the top sources "
                              "cover >=20%% of remote slots)")
+    parser.add_argument("--slab_dtype", type=str, default=None,
+                        choices=["auto", "bf16", "int8"],
+                        help="ssel slab residency dtype: 'auto' (default "
+                             "behavior — int8 only where the measured "
+                             "policy says it wins, _auto_dtype), 'bf16' "
+                             "(force compute dtype), 'int8' (force)")
     parser.add_argument("--slab_int8", action="store_true",
                         help="int8 slab mode (ssel): per-pass absmax "
                              "quantization + int8 MXU dots, doubling the "

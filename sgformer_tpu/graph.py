@@ -247,15 +247,42 @@ def preprocess_graph(
         edge_index = remove_self_loops(edge_index)
         edge_index = add_self_loops(edge_index, num_nodes)
     node_perm = None
+    auto_slab_dtype = None
     if with_chunks and spmm_mode in ("slab", "ssel"):
-        from sgformer_tpu.kernels.slabs import reorder_for_slabs
+        from sgformer_tpu.kernels.slabs import (
+            _AUTO_INT8_SLAB_ROWS,
+            choose_slab_dtype,
+            reorder_for_slabs,
+        )
 
         if chunk_dtype == "f32":
             # the single-buffered f32 slab scratch must fit VMEM (~16 MB)
             slab_rows = min(slab_rows, 8192)
-        perm, inv = reorder_for_slabs(
-            edge_index, num_nodes, slab_rows=slab_rows
+        want_auto = (
+            spmm_mode == "ssel" and chunk_dtype == "bf16"
+            and (slab_geometry or {}).get("slab_dtype", "auto") == "auto"
+            and slab_rows < _AUTO_INT8_SLAB_ROWS
         )
+        if want_auto:
+            # one LPA pass, two packings: the int8 mode's value is the
+            # REPACK at the doubled residency height (the 400K window,
+            # BENCH.md "int8 slab mode"), so the decision happens here
+            # where the reorder is owned
+            (perm, inv, loc), (perm_hi, inv_hi, loc_hi) = reorder_for_slabs(
+                edge_index, num_nodes, slab_rows=slab_rows,
+                alt_slab_rows=_AUTO_INT8_SLAB_ROWS,
+            )
+            auto_slab_dtype = choose_slab_dtype(
+                edge_index.shape[1], loc, loc_hi,
+                max(num_nodes, slab_rows),
+            )
+            if auto_slab_dtype == "int8":
+                perm, inv = perm_hi, inv_hi
+                slab_rows = _AUTO_INT8_SLAB_ROWS
+        else:
+            perm, inv = reorder_for_slabs(
+                edge_index, num_nodes, slab_rows=slab_rows
+            )
         edge_index = np.stack([inv[edge_index[0]], inv[edge_index[1]]])
         node_perm = perm
     elif reorder:
@@ -298,6 +325,14 @@ def preprocess_graph(
                 # (w = rs[src]*rs[dst] separability); bf16-path-only — the
                 # f32 path stays bit-exact vs the numpy oracle
                 geo.setdefault("sep_rs", gcn_norm_rs(dst, num_nodes))
+                if auto_slab_dtype is not None:
+                    # measured per-graph policy (BENCH.md "int8 slab
+                    # mode"), resolved at reorder time above: int8 +
+                    # doubled residency only in the regime where the
+                    # repack wins (the 400K window); bf16 elsewhere.
+                    # The f32 path is untouched; explicit slab_dtype
+                    # overrides (want_auto false above).
+                    geo["slab_dtype"] = auto_slab_dtype
         chunks = build_slabs(src, dst, weight, num_nodes,
                              slab_rows=slab_rows, **geo)
         if pyg_np is not None:

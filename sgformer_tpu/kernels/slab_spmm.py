@@ -351,13 +351,16 @@ def _apply_local(x_pad, prev, side: SlabPlanSide, compute_dtype, interpret,
 def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
                 interpret):
     int8_slab = plan.slab_dtype == "int8"
-    if int8_slab and not interpret and x.shape[1] % 128 != 0:
-        # compiled-only constraint: Mosaic int8 VMEM slices are
-        # (8,128)-tiled with (4,1) packing (found on-chip, BENCH.md)
-        raise ValueError(
-            f"int8 slab mode needs the feature dim to be a multiple of "
-            f"128, got {x.shape[1]}; pad the features or use the bf16 slab"
-        )
+    f_true = x.shape[1]
+    if int8_slab and x.shape[1] % 128 != 0:
+        # compiled-path constraint: Mosaic int8 VMEM slices are
+        # (8,128)-tiled with (4,1) packing (found on-chip, BENCH.md).
+        # Pad the feature dim up internally (zero columns aggregate to
+        # zero and are sliced off below) so 'auto'-selected int8 plans
+        # work with any hidden size — padding costs lanes but the mode is
+        # only auto-picked where it wins ~12% (round-4 VERDICT task 3).
+        # Applied in interpret mode too so CPU tests cover the path.
+        x = jnp.pad(x, ((0, 0), (0, 128 - x.shape[1] % 128)))
     stor_itemsize = 1 if int8_slab else jnp.dtype(compute_dtype).itemsize
     slab_mb = ((side.slab_rows + side.hub_rows) * x.shape[1]
                * stor_itemsize) / 2**20
@@ -430,7 +433,7 @@ def _apply_side(x, plan: SlabSpMM, side: SlabPlanSide, compute_dtype,
         # carried by sel_dst — which therefore streams as 0/1 int8
         out = out * plan.pre_scale[:, None]
     out = out + plan.w_self[:, None] * xc.astype(jnp.float32)
-    return out[: plan.num_nodes].astype(x.dtype)
+    return out[: plan.num_nodes, :f_true].astype(x.dtype)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1))

@@ -20,6 +20,7 @@ Replaces the same cuSPARSE SpMM call sites as ``kernels/chunks.py``
 from __future__ import annotations
 
 import dataclasses
+import sys
 from functools import partial
 from typing import Optional
 
@@ -291,6 +292,40 @@ def _auto_hub(src, dst, n_pad, window_rows, H, R):
     if top < _AUTO_HUB_COVERAGE * len(cand):
         return 0, R
     return _AUTO_HUB_ROWS, R_hub
+
+
+_AUTO_INT8_SLAB_ROWS = 49152  # doubled residency (bf16 R24576 x2)
+_AUTO_INT8_MIN_REMOVED_FRAC = 0.20  # min remote-edge-mass reduction
+_AUTO_INT8_MIN_REMOVED = 500_000  # absolute floor: covers the ~2.5 ms
+#                                   quantize overhead (BENCH.md int8 mode)
+
+
+def choose_slab_dtype(num_edges, loc_lo, loc_hi, n_pad):
+    """Decide ``slab_dtype='auto'`` from the two packings' sampled
+    localities (``reorder_for_slabs(alt_slab_rows=...)``): int8 +
+    doubled residency only when repacking at the doubled height removes
+    enough remote-edge mass to buy back the per-pass quantize cost.
+    Thresholds from the round-3 measurements (BENCH.md "int8 slab
+    mode"): arxiv-169K removes 5% and LOSES 2.5 ms; 400K/10M removes 30%
+    and WINS 12.5% end-to-end; 1M-uniform removes ~5% and loses."""
+    if n_pad < 2 * _AUTO_INT8_SLAB_ROWS:
+        # graphs ~the residency height keep bf16: nearly everything is
+        # already local and the quantize pass is pure overhead
+        return "compute"
+    rem_lo = (1.0 - loc_lo) * num_edges
+    rem_hi = (1.0 - loc_hi) * num_edges
+    removed = rem_lo - rem_hi
+    frac = removed / max(rem_lo, 1.0)
+    pick = (frac >= _AUTO_INT8_MIN_REMOVED_FRAC
+            and removed >= _AUTO_INT8_MIN_REMOVED)
+    print(
+        f"[slabs] slab_dtype=auto: remote edge mass {rem_lo:,.0f} "
+        f"@R24576 -> {rem_hi:,.0f} @R{_AUTO_INT8_SLAB_ROWS} "
+        f"(-{100 * frac:.0f}%) => "
+        f"{'int8' if pick else 'bf16 (below threshold)'}",
+        file=sys.stderr,
+    )
+    return "int8" if pick else "compute"
 
 
 def _build_side(
@@ -595,7 +630,10 @@ def build_slabs(
     the top-K remote sources in a permanent VMEM scratch tail (power-law
     graphs); ``-1``/``'auto'`` enables the measured hub geometry
     (16K slab + 6144-row tail) only when the top sources cover enough
-    remote slots to pay for it — see ``_AUTO_HUB_*``."""
+    remote slots to pay for it — see ``_AUTO_HUB_*``.  ``slab_dtype``:
+    'compute' (default), 'int8' (quantized, doubled residency), or
+    'auto' — int8 only when doubling the residency removes enough remote
+    edges to win (the measured 400K-node window, ``_auto_dtype``)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     weight = np.asarray(weight, dtype=np.float64)
@@ -628,6 +666,12 @@ def build_slabs(
         else:
             sep_rs = None
 
+    if slab_dtype == "auto":
+        # the real decision needs BOTH packings' localities and therefore
+        # lives in preprocess_graph (choose_slab_dtype), which owns the
+        # reorder; a direct build_slabs caller passing 'auto' gets the
+        # bf16 default
+        slab_dtype = "compute"
     if hub_rows in (-1, "auto"):
         if stream_sel != "bf16" or slab_dtype != "compute":
             # the auto geometry (16K slab + 6144 tail) is measured for —
@@ -678,10 +722,15 @@ def reorder_for_slabs(
     seed: int = 0,
     restarts: int = 4,
     score_sample: int = 2_000_000,
+    alt_slab_rows: Optional[int] = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Cluster + pack: returns ``(perm, inv)`` with ``perm[new] = old``
     and ``inv[old] = new``.  Relabel edges as ``inv[src], inv[dst]`` and
-    permute node-indexed arrays as ``arr[perm]``."""
+    permute node-indexed arrays as ``arr[perm]``.  With
+    ``alt_slab_rows``, additionally packs the winning clustering at that
+    slab height and returns ``((perm, inv, locality), (alt_perm,
+    alt_inv, alt_locality))`` — the ``slab_dtype='auto'`` decision input
+    (one LPA pass, two packings)."""
     src, dst = np.asarray(edge_index)
     # self-loops bias every node toward keeping its own label and stall
     # convergence — cluster on the loop-free edge list
@@ -697,27 +746,28 @@ def reorder_for_slabs(
     # fallback and quality oracle (single seed: it costs minutes).
     #
     # Large-graph cost controls (round 4, the 1M-node prep wall):
-    # * restarts SCOUT with 12 sweeps each — label quality saturates by
-    #   ~16 sweeps (measured on a planted-partition 1M graph: locality
-    #   0.20@8 / 0.799@16 / 0.801@40) and only the seed RANKING matters;
-    #   the winner re-runs at min(iters, 24).  Full 40-sweep restarts
-    #   were 45 s of the 136 s 1M-node prep.
+    # * large graphs run every restart at min(iters, 24) sweeps — labels
+    #   converge by ~24 on both graph families measured (planted-
+    #   partition 1M: locality 0.799@16 == 0.801@40; homophilous 400K
+    #   bench shape: 0.57/0.64/0.75/0.50 identical at 24 and 40 across
+    #   seeds).  Restarts must run to THAT depth: a 12-sweep scout
+    #   leaves every seed at locality ~0.12 (pre-convergence), making
+    #   the ranking noise and losing the 25 pp seed spread the restarts
+    #   exist to capture (caught by a 3.22M → 3.95M remote-slot
+    #   regression at 400K before this was fixed).
     # * locality is scored on a ~``score_sample``-edge stride sample
-    #   (restart spread is ~2 pp; a 2M sample has <0.1 pp noise).
+    #   (restart spread is 2-25 pp; a 2M sample has <0.1 pp noise).
     if len(srcm) > score_sample:
         stride = len(srcm) // score_sample
         s_src, s_dst = srcm[::stride], dstm[::stride]
     else:
         s_src, s_dst = srcm, dstm
-    large = num_nodes > 300_000
-    scout_iters = iters if not large else min(iters, 12)
-    final_iters = iters if not large else min(iters, 24)
+    run_iters = iters if num_nodes <= 300_000 else min(iters, 24)
     clusters = None
     best = -1.0
-    best_seed = seed
     for r in range(restarts):
         c = lpa_cluster_native(
-            srcm, dstm, num_nodes, scout_iters, num_nodes + 1, seed + r
+            srcm, dstm, num_nodes, run_iters, num_nodes + 1, seed + r
         )
         if c is None:
             break
@@ -729,20 +779,30 @@ def reorder_for_slabs(
         iv[p] = np.arange(num_nodes)
         loc = locality_fraction(iv[s_src], iv[s_dst], slab_rows)
         if loc > best:
-            best, clusters, best_seed = loc, c, seed + r
+            best, clusters = loc, c
     if clusters is None:
         clusters = label_propagation(
             srcm, dstm, num_nodes, iters=iters,
             max_size=num_nodes + 1, seed=seed,
         )
-    elif scout_iters < final_iters:
-        clusters = lpa_cluster_native(
-            srcm, dstm, num_nodes, final_iters, num_nodes + 1, best_seed
-        )
     perm = cluster_pack_perm(clusters, slab_rows)
     inv = np.empty(num_nodes, dtype=np.int64)
     inv[perm] = np.arange(num_nodes)
-    return perm, inv
+    if alt_slab_rows is None:
+        return perm, inv
+    # pack the SAME winning labels at the alternative slab height and
+    # score both on the edge sample — the slab_dtype='auto' decision
+    # input (int8 halves the slab bytes so the residency can double, but
+    # it only pays when the repack at the doubled height captures more
+    # cluster mass — preprocess_graph compares these localities)
+    loc = locality_fraction(inv[s_src], inv[s_dst], slab_rows)
+    alt_perm = cluster_pack_perm(clusters, alt_slab_rows)
+    alt_inv = np.empty(num_nodes, dtype=np.int64)
+    alt_inv[alt_perm] = np.arange(num_nodes)
+    alt_loc = locality_fraction(
+        alt_inv[s_src], alt_inv[s_dst], alt_slab_rows
+    )
+    return (perm, inv, loc), (alt_perm, alt_inv, alt_loc)
 
 
 def locality_fraction(src, dst, slab_rows: int) -> float:

@@ -739,3 +739,57 @@ def test_slab_int8_with_hub_tail(hub_problem):
     got = np.asarray(slab_spmm(jnp.asarray(x), plan,
                                compute_dtype=jnp.bfloat16, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_slab_int8_feature_dim_padding(problem):
+    """F not a multiple of 128 pads internally (round 4: 'auto'-selected
+    int8 must work at any hidden size) — zero columns aggregate to zero
+    and are sliced off, so fwd+grad match the unpadded-oracle results."""
+    s2, d2, w2, n, _, x = problem
+    plan = _sep_plan(problem)
+    x77 = jnp.asarray(np.asarray(x)[:, :77])
+    want = np.asarray(spmm(x77, jnp.asarray(s2), jnp.asarray(d2),
+                           jnp.asarray(w2), n))
+    got = np.asarray(slab_spmm(x77, plan, compute_dtype=jnp.bfloat16,
+                               interpret=True))
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 2e-2
+
+    g = jnp.asarray(np.random.default_rng(6)
+                    .standard_normal(want.shape).astype(np.float32))
+    gx = np.asarray(jax.grad(lambda xx: jnp.vdot(
+        slab_spmm(xx, plan, compute_dtype=jnp.bfloat16,
+                  interpret=True).astype(jnp.float32), g))(x77))
+    gx_ref = np.asarray(jax.grad(lambda xx: jnp.vdot(
+        spmm(xx, jnp.asarray(s2), jnp.asarray(d2), jnp.asarray(w2),
+             n).astype(jnp.float32), g))(x77))
+    assert gx.shape == gx_ref.shape
+    assert np.abs(gx - gx_ref).max() / np.abs(gx_ref).max() < 2e-2
+
+
+def test_auto_slab_dtype_policy_small_graph_stays_bf16():
+    """preprocess_graph's slab_dtype='auto' leaves graphs around the
+    residency height on the compute-dtype slab (quantize overhead with
+    nothing to buy back — BENCH.md 'int8 slab mode')."""
+    from sgformer_tpu.graph import preprocess_graph
+
+    rng = np.random.default_rng(0)
+    n, e = 3000, 15000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    g = preprocess_graph(ei, n, with_chunks=True, spmm_mode="ssel",
+                         chunk_dtype="bf16", chunk_interpret=True)
+    assert g.chunks.slab_dtype == "compute"
+
+
+def test_auto_slab_dtype_explicit_override():
+    """slab_geometry={'slab_dtype': 'int8'} bypasses the auto policy."""
+    from sgformer_tpu.graph import preprocess_graph
+
+    rng = np.random.default_rng(0)
+    n, e = 3000, 15000
+    ei = np.stack([rng.integers(0, n, e), rng.integers(0, n, e)])
+    g = preprocess_graph(ei, n, with_chunks=True, spmm_mode="ssel",
+                         chunk_dtype="bf16", chunk_interpret=True,
+                         slab_geometry={"slab_dtype": "int8"})
+    assert g.chunks.slab_dtype == "int8"
