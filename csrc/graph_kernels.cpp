@@ -295,31 +295,52 @@ int64_t lpa_cluster(const int64_t* src, const int64_t* dst, int64_t n_edges,
                     uint64_t seed, int64_t* labels_out) {
   if (n_nodes <= 0) return 0;
   // dst-CSR of in-neighbors (the edge list is undirected, so these are all
-  // neighbors)
+  // neighbors).  int32 internals (labels, indices): the sweep is a random
+  // gather over labels[indices[e]], i.e. memory-latency bound — halving
+  // the element size measurably speeds the sweep; node counts beyond
+  // int32 are not reachable in this framework's host prep.
   std::vector<int64_t> indptr(n_nodes + 1, 0);
   for (int64_t e = 0; e < n_edges; ++e) indptr[dst[e] + 1]++;
   for (int64_t i = 0; i < n_nodes; ++i) indptr[i + 1] += indptr[i];
-  std::vector<int64_t> indices(n_edges);
+  std::vector<int32_t> indices(n_edges);
   {
     std::vector<int64_t> pos(indptr.begin(), indptr.end() - 1);
-    for (int64_t e = 0; e < n_edges; ++e) indices[pos[dst[e]]++] = src[e];
+    for (int64_t e = 0; e < n_edges; ++e)
+      indices[pos[dst[e]]++] = (int32_t)src[e];
   }
 
-  std::vector<int64_t> labels(n_nodes), next(n_nodes), sizes(n_nodes);
-  for (int64_t i = 0; i < n_nodes; ++i) labels[i] = i;
+  std::vector<int32_t> labels(n_nodes), next(n_nodes);
+  std::vector<int64_t> sizes(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) labels[i] = (int32_t)i;
 
   unsigned hw = std::thread::hardware_concurrency();
   int64_t n_threads = hw ? (int64_t)hw : 4;
   if (n_threads > n_nodes) n_threads = n_nodes > 0 ? n_nodes : 1;
 
+  // Objective-based stop: clustered graphs keep improving well past 40
+  // sweeps (a 1M-node/25K-community graph converges at ~56-90 with
+  // locality 0.18-0.23 vs 0.04 at 40); uniform graphs churn forever
+  // with no gain.  LPA coalescence is SIGMOID (slow micro-cluster phase
+  // -> explosive merge -> saturation), so short-window early stops
+  // misfire: no check happens before sweep MIN_STOP=40 (exactly the
+  // historical fixed depth — graphs capped at iters<=40 behave
+  // identically to before), and past 40 the loop stops once the true
+  // objective — same-label fraction over a ~2M-edge stride sample —
+  // gains <0.3 pp per CHECK sweeps.
+  const int64_t CHECK = 8;
+  const int64_t MIN_STOP = 40;
+  const double MIN_GAIN = 0.003;
+  int64_t stride = n_edges > 2000000 ? n_edges / 2000000 : 1;
+  double prev_frac = -1.0;
   int64_t sweep = 0;
   for (; sweep < iters; ++sweep) {
     std::fill(sizes.begin(), sizes.end(), 0);
     for (int64_t i = 0; i < n_nodes; ++i) sizes[labels[i]]++;
 
-    std::atomic<bool> changed(false);
+    std::atomic<int64_t> changed(0);
     auto work = [&](int64_t lo, int64_t hi) {
-      std::vector<int64_t> nb;
+      std::vector<int32_t> nb;
+      int64_t local_changed = 0;
       for (int64_t d = lo; d < hi; ++d) {
         int64_t e0 = indptr[d], e1 = indptr[d + 1];
         next[d] = labels[d];
@@ -328,12 +349,12 @@ int64_t lpa_cluster(const int64_t* src, const int64_t* dst, int64_t n_edges,
         for (int64_t e = e0; e < e1; ++e) nb[e - e0] = labels[indices[e]];
         std::sort(nb.begin(), nb.end());
         double best_key = 0.0;
-        int64_t best_label = labels[d];
+        int32_t best_label = labels[d];
         bool found = false;
         for (size_t a = 0; a < nb.size();) {
           size_t b = a;
           while (b < nb.size() && nb[b] == nb[a]) ++b;
-          int64_t gl = nb[a];
+          int32_t gl = nb[a];
           int64_t count = (int64_t)(b - a);
           // full labels stop attracting new members
           if (!(sizes[gl] >= max_size && gl != labels[d])) {
@@ -352,9 +373,10 @@ int64_t lpa_cluster(const int64_t* src, const int64_t* dst, int64_t n_edges,
         }
         if (found && best_label != labels[d]) {
           next[d] = best_label;
-          changed.store(true, std::memory_order_relaxed);
+          local_changed++;
         }
       }
+      changed.fetch_add(local_changed, std::memory_order_relaxed);
     };
     if (n_threads <= 1) {
       work(0, n_nodes);
@@ -368,12 +390,25 @@ int64_t lpa_cluster(const int64_t* src, const int64_t* dst, int64_t n_edges,
       for (auto& t : ts) t.join();
     }
     labels.swap(next);
-    if (!changed.load()) {
+    if (changed.load() == 0) {
       ++sweep;
       break;
     }
+    if ((sweep + 1) % CHECK == 0 && sweep + 1 >= MIN_STOP - CHECK) {
+      int64_t same = 0, tot = 0;
+      for (int64_t e = 0; e < n_edges; e += stride) {
+        tot++;
+        same += labels[src[e]] == labels[dst[e]];
+      }
+      double frac = tot ? (double)same / (double)tot : 0.0;
+      if (sweep + 1 >= MIN_STOP && frac < prev_frac + MIN_GAIN) {
+        ++sweep;
+        break;
+      }
+      prev_frac = frac;
+    }
   }
-  std::memcpy(labels_out, labels.data(), sizeof(int64_t) * n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) labels_out[i] = labels[i];
   return sweep;
 }
 

@@ -746,15 +746,17 @@ def reorder_for_slabs(
     # fallback and quality oracle (single seed: it costs minutes).
     #
     # Large-graph cost controls (round 4, the 1M-node prep wall):
-    # * large graphs run every restart at min(iters, 24) sweeps — labels
-    #   converge by ~24 on both graph families measured (planted-
-    #   partition 1M: locality 0.799@16 == 0.801@40; homophilous 400K
-    #   bench shape: 0.57/0.64/0.75/0.50 identical at 24 and 40 across
-    #   seeds).  Restarts must run to THAT depth: a 12-sweep scout
-    #   leaves every seed at locality ~0.12 (pre-convergence), making
-    #   the ranking noise and losing the 25 pp seed spread the restarts
-    #   exist to capture (caught by a 3.22M → 3.95M remote-slot
-    #   regression at 400K before this was fixed).
+    # * restarts run to CONVERGENCE, not a fixed depth: the C++ sweep
+    #   loop stops when the per-sweep changed-count hits zero or
+    #   plateaus (no new minimum for 12 sweeps — uniform graphs churn
+    #   forever at a flat level and exit early; clustered graphs keep
+    #   descending and run deep).  Convergence depth is strongly graph-
+    #   dependent: a 1M-node/25K-community graph converges at ~56 sweeps
+    #   with locality 0.18 vs 0.04 at sweep 40, while a 12-sweep scout
+    #   left every 400K seed at pre-convergence 0.12 and randomized the
+    #   restart pick (3.22M → 3.95M remote slots before this was fixed).
+    #   Large graphs therefore get a GENEROUS cap and trust the plateau
+    #   rule for cost control.
     # * locality is scored on a ~``score_sample``-edge stride sample
     #   (restart spread is 2-25 pp; a 2M sample has <0.1 pp noise).
     if len(srcm) > score_sample:
@@ -762,7 +764,7 @@ def reorder_for_slabs(
         s_src, s_dst = srcm[::stride], dstm[::stride]
     else:
         s_src, s_dst = srcm, dstm
-    run_iters = iters if num_nodes <= 300_000 else min(iters, 24)
+    run_iters = iters if num_nodes <= 300_000 else max(iters, 96)
     clusters = None
     best = -1.0
     for r in range(restarts):
@@ -780,6 +782,12 @@ def reorder_for_slabs(
         loc = locality_fraction(iv[s_src], iv[s_dst], slab_rows)
         if loc > best:
             best, clusters = loc, c
+        if r == 0 and loc < 0.05:
+            # structureless graph (uniform-random): every seed lands at
+            # the same ~2% locality (measured spread 0.0002) — further
+            # restarts are pure cost, and the C++ objective-stop already
+            # capped this run's sweeps
+            break
     if clusters is None:
         clusters = label_propagation(
             srcm, dstm, num_nodes, iters=iters,
