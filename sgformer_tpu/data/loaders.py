@@ -1,9 +1,11 @@
 """Dataset loaders — the capability surface of ``large/dataset.py:89-698``
 and ``medium/dataset.py:79-351``, re-built for offline, file-gated loading.
 
-Every loader reads already-downloaded artifacts from ``data_dir`` (this
-framework never downloads; the reference's Google-Drive fetcher at
-``large/dataset.py:371-377`` has no place in a production TPU pipeline).
+Every loader reads already-downloaded artifacts from ``data_dir`` (these
+loaders never download implicitly; the reference's mid-run Google-Drive
+fetcher at ``large/dataset.py:371-377`` has no place in a production TPU
+pipeline — its capability lives in the explicit, opt-in
+``python -m sgformer_tpu.data.download`` tool, see ``download.py``).
 Supported on-disk formats:
 
 - **OGB node-prediction directories** (``ogbn_arxiv/``, ``ogbn_products/``,

@@ -1,0 +1,66 @@
+"""Tests for the explicit dataset fetch tool (data/download.py).
+
+No egress exists in CI, so these cover everything except a live fetch:
+registry/loader path agreement, keep-existing behavior, the offline
+error message (which carries manual-placement instructions), and the
+CLI exit code.  Reference surface: large/dataset.py:371-377 +
+large/data_utils.py:303-312.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from sgformer_tpu.data import download as dl
+
+
+def test_registry_matches_loader_paths():
+    # loaders.py expects exactly these relative paths (loaders.py:527-553)
+    assert dl.DRIVE_FILES["pokec"] == {
+        "pokec/pokec.mat": "1dNs5E7BrWJbgcHeQ_zuy5Ozp2tRCWG0y"
+    }
+    assert list(dl.DRIVE_FILES["snap-patents"]) == ["snap_patents.mat"]
+    assert list(dl.DRIVE_FILES["yelp-chi"]) == ["YelpChi.mat"]
+
+
+def test_fetch_keeps_existing_files(tmp_path):
+    dest = tmp_path / "pokec" / "pokec.mat"
+    dest.parent.mkdir(parents=True)
+    dest.write_bytes(b"sentinel")
+    written = dl.fetch_dataset("pokec", str(tmp_path))
+    assert written == []
+    assert dest.read_bytes() == b"sentinel"
+
+
+def test_unknown_dataset_raises_keyerror(tmp_path):
+    with pytest.raises(KeyError, match="ogb"):
+        dl.fetch_dataset("ogbn-arxiv", str(tmp_path))
+
+
+def test_offline_error_names_manual_path(tmp_path, monkeypatch):
+    import urllib.error
+    import urllib.request
+
+    def no_net(*a, **k):
+        raise urllib.error.URLError(OSError("no egress"))
+
+    monkeypatch.setattr(urllib.request, "urlopen", no_net)
+    dest = os.path.join(str(tmp_path), "snap_patents.mat")
+    with pytest.raises(ConnectionError) as e:
+        dl.drive_fetch("1ldh23TSY1PwXia6dU0MYcpyEgX-w3Hia", dest)
+    msg = str(e.value)
+    assert dest in msg and "drive.google.com" in msg
+    assert not os.path.exists(dest + ".part")
+
+
+def test_cli_offline_exits_nonzero(tmp_path, monkeypatch):
+    import urllib.request
+
+    def no_net(*a, **k):
+        raise OSError("no egress")
+
+    monkeypatch.setattr(urllib.request, "urlopen", no_net)
+    rc = dl.main(["yelp-chi", "--data_dir", str(tmp_path)])
+    assert rc == 1
