@@ -75,7 +75,7 @@ def probe_device(timeout_s: float = 240.0) -> None:
 
 
 def seed_compile_cache() -> None:
-    """Copy the committed warm entries (bench_cache/) into .jax_cache.
+    """Copy the committed warm entries (bench_cache/) into the cache dir.
 
     The persistent-cache keys include jax/libtpu versions and compile
     options, so on the driver's environment (same image) these hit and a
@@ -84,7 +84,11 @@ def seed_compile_cache() -> None:
     below covers the recompile.
     """
     src = os.path.join(REPO, "bench_cache")
-    dst = os.path.join(REPO, ".jax_cache")
+    # same resolution as utils.cache.enable_compilation_cache — seeding
+    # a different directory than jax reads would silently cold-compile
+    dst = os.environ.get("SGFORMER_CACHE_DIR") or os.path.join(
+        REPO, ".jax_cache"
+    )
     if not os.path.isdir(src):
         return
     os.makedirs(dst, exist_ok=True)

@@ -47,12 +47,6 @@ def main():
     # (published arxiv 72.63) where a fast-path numerics change has
     # resolution to show.
     hom, fs = 0.35, 0.12
-    ds = synthetic_dataset(num_nodes=N, num_edges=E_dir, num_features=128,
-                           num_classes=40, seed=0, homophily=hom,
-                           feature_scale=fs)
-    split = class_rand_splits(ds.label.reshape(-1), label_num_per_class=500,
-                              valid_num=25_000, test_num=50_000,
-                              rng=np.random.default_rng(42))
 
     import sys
 
@@ -92,6 +86,13 @@ def main():
                   f"val {100*s['highest_valid']:.2f} "
                   f"({time.time()-t0:.0f}s)", flush=True)
         return
+
+    ds = synthetic_dataset(num_nodes=N, num_edges=E_dir, num_features=128,
+                           num_classes=40, seed=0, homophily=hom,
+                           feature_scale=fs)
+    split = class_rand_splits(ds.label.reshape(-1), label_num_per_class=500,
+                              valid_num=25_000, test_num=50_000,
+                              rng=np.random.default_rng(42))
 
     def run(label, spmm_mode, chunk_dtype, compute_dtype, **geo):
         t0 = time.time()

@@ -66,6 +66,22 @@ def drive_fetch(file_id: str, dest_path: str, *, timeout: float = 30.0) -> str:
     try:
         with urllib.request.urlopen(url, timeout=timeout) as r, \
                 open(tmp, "wb") as f:
+            # Drive failure modes (quota exceeded, removed file, an
+            # interstitial confirm=t didn't skip) come back as HTTP-200
+            # HTML; committing that as the .mat would surface much later
+            # as a confusing loadmat error — and the keep-existing rule
+            # would pin the corrupt file.  Reject non-binary payloads.
+            ctype = r.headers.get("Content-Type", "")
+            first = r.read(1 << 20)
+            head = first.lstrip()[:15].lower()
+            if "text/html" in ctype or head.startswith(
+                    (b"<!doctype", b"<html")):
+                raise OSError(
+                    f"drive returned an HTML page ({ctype!r}) instead of "
+                    "file bytes — quota exceeded, file removed, or "
+                    "interstitial not skipped"
+                )
+            f.write(first)
             while True:
                 chunk = r.read(1 << 20)
                 if not chunk:

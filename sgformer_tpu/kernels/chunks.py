@@ -245,9 +245,15 @@ def _build_plan(
         )
         if len(src):
             # one combined-key stable sort (3x cheaper than lexsort's
-            # two passes at 10M edges)
+            # two passes at 10M edges), equivalent to
+            # np.lexsort((src, dst // W)).  The src stride must exceed
+            # max(src), NOT num_nodes: rectangular sharded fwd plans
+            # carry GLOBAL source ids while num_nodes is the output-row
+            # count, and a short stride interleaves windows (silently
+            # wrong plans in this no-native-lib fallback).
+            src_stride = np.int64(max(num_nodes, int(src.max()) + 1))
             order = np.argsort(
-                (dst // W).astype(np.int64) * np.int64(num_nodes) + src,
+                (dst // W).astype(np.int64) * src_stride + src,
                 kind="stable",
             )
             src, dst, weight, ids = (

@@ -718,7 +718,7 @@ def reorder_for_slabs(
     num_nodes: int,
     *,
     slab_rows: int = 8192,
-    iters: int = 40,
+    iters: Optional[int] = None,
     seed: int = 0,
     restarts: int = 4,
     score_sample: int = 2_000_000,
@@ -730,7 +730,13 @@ def reorder_for_slabs(
     ``alt_slab_rows``, additionally packs the winning clustering at that
     slab height and returns ``((perm, inv, locality), (alt_perm,
     alt_inv, alt_locality))`` — the ``slab_dtype='auto'`` decision input
-    (one LPA pass, two packings)."""
+    (one LPA pass, two packings).
+
+    ``iters`` is the hard sweep CAP per restart (the objective stop
+    usually fires first; it cannot fire before the C++ MIN_STOP=40).
+    ``None`` (default) resolves to 40 for graphs ≤300K nodes and 96
+    above — deep convergence matters more at scale (see comment below);
+    an explicitly-passed value is honored exactly at any size."""
     src, dst = np.asarray(edge_index)
     # self-loops bias every node toward keeping its own label and stall
     # convergence — cluster on the loop-free edge list
@@ -747,16 +753,18 @@ def reorder_for_slabs(
     #
     # Large-graph cost controls (round 4, the 1M-node prep wall):
     # * restarts run to CONVERGENCE, not a fixed depth: the C++ sweep
-    #   loop stops when the per-sweep changed-count hits zero or
-    #   plateaus (no new minimum for 12 sweeps — uniform graphs churn
-    #   forever at a flat level and exit early; clustered graphs keep
-    #   descending and run deep).  Convergence depth is strongly graph-
-    #   dependent: a 1M-node/25K-community graph converges at ~56 sweeps
-    #   with locality 0.18 vs 0.04 at sweep 40, while a 12-sweep scout
-    #   left every 400K seed at pre-convergence 0.12 and randomized the
+    #   loop (csrc::lpa_cluster) stops when a sweep changes zero labels,
+    #   or — checked every CHECK=8 sweeps once past MIN_STOP=40 — when
+    #   the sampled same-label edge fraction gained < MIN_GAIN=0.3 pp
+    #   over the last 8 sweeps (uniform graphs churn forever at a flat
+    #   level and exit at ~40; clustered graphs keep gaining and run
+    #   deep).  Convergence depth is strongly graph-dependent: a
+    #   1M-node/25K-community graph converges at ~56 sweeps with
+    #   locality 0.18 vs 0.04 at sweep 40, while a 12-sweep scout left
+    #   every 400K seed at pre-convergence 0.12 and randomized the
     #   restart pick (3.22M → 3.95M remote slots before this was fixed).
-    #   Large graphs therefore get a GENEROUS cap and trust the plateau
-    #   rule for cost control.
+    #   Large graphs therefore get a GENEROUS cap and trust the
+    #   objective stop for cost control.
     # * locality is scored on a ~``score_sample``-edge stride sample
     #   (restart spread is 2-25 pp; a 2M sample has <0.1 pp noise).
     if len(srcm) > score_sample:
@@ -764,7 +772,10 @@ def reorder_for_slabs(
         s_src, s_dst = srcm[::stride], dstm[::stride]
     else:
         s_src, s_dst = srcm, dstm
-    run_iters = iters if num_nodes <= 300_000 else max(iters, 96)
+    if iters is None:
+        run_iters = 40 if num_nodes <= 300_000 else 96
+    else:
+        run_iters = iters  # explicit caller budget: a cap, never a floor
     clusters = None
     best = -1.0
     for r in range(restarts):
@@ -790,7 +801,7 @@ def reorder_for_slabs(
             break
     if clusters is None:
         clusters = label_propagation(
-            srcm, dstm, num_nodes, iters=iters,
+            srcm, dstm, num_nodes, iters=run_iters,
             max_size=num_nodes + 1, seed=seed,
         )
     perm = cluster_pack_perm(clusters, slab_rows)

@@ -212,18 +212,36 @@ class BatchTrainer:
 
     # -- eval ---------------------------------------------------------------
 
+    def _eval_fn(self, key: str, build):
+        """One jitted eval closure per trainer, built lazily and cached —
+        re-decorating a fresh closure every eval call would discard jit's
+        trace cache and retrace (and, cache-cold, recompile) the model
+        once per eval epoch (round-4 review)."""
+        cache = getattr(self, "_eval_fns", None)
+        if cache is None:
+            cache = self._eval_fns = {}
+        if key not in cache:
+            cache[key] = jax.jit(build())
+        return cache[key]
+
     def _eval_logits_full(self, state) -> np.ndarray:
         assert self.full_graph is not None, (
             "full-graph eval needs full_graph=preprocess_graph(...)"
         )
 
-        def eval_step(state, x, graph):
-            return self.model.apply(
-                {"params": state["params"], "batch_stats": state["batch_stats"]},
-                x,
-                graph,
-                train=False,
-            )
+        def make_eval_step():
+            def eval_step(state, x, graph):
+                return self.model.apply(
+                    {
+                        "params": state["params"],
+                        "batch_stats": state["batch_stats"],
+                    },
+                    x,
+                    graph,
+                    train=False,
+                )
+
+            return eval_step
 
         if self.config.eval_device == "cpu":
             # evaluate_large semantics (large/eval.py:36-65): run the
@@ -233,9 +251,15 @@ class BatchTrainer:
                 state_c = jax.device_put(state, cpu)
                 x_c = jax.device_put(jnp.asarray(self.x), cpu)
                 g_c = jax.device_put(self.full_graph, cpu)
-                return np.asarray(jax.jit(eval_step)(state_c, x_c, g_c))
+                return np.asarray(
+                    self._eval_fn("full_cpu", make_eval_step)(
+                        state_c, x_c, g_c
+                    )
+                )
         return np.asarray(
-            jax.jit(eval_step)(state, jnp.asarray(self.x), self.full_graph)
+            self._eval_fn("full", make_eval_step)(
+                state, jnp.asarray(self.x), self.full_graph
+            )
         )
 
     def _eval_streaming(self, state, split_idx, np_rng) -> dict:
@@ -250,15 +274,22 @@ class BatchTrainer:
         cfg = self.config
         B = cfg.batch_size
 
-        @jax.jit
-        def fwd(state, x, graph, node_mask):
-            return self.model.apply(
-                {"params": state["params"], "batch_stats": state["batch_stats"]},
-                x,
-                graph,
-                train=False,
-                node_mask=node_mask,
-            )
+        def make_fwd():
+            def fwd(state, x, graph, node_mask):
+                return self.model.apply(
+                    {
+                        "params": state["params"],
+                        "batch_stats": state["batch_stats"],
+                    },
+                    x,
+                    graph,
+                    train=False,
+                    node_mask=node_mask,
+                )
+
+            return fwd
+
+        fwd = self._eval_fn("streaming", make_fwd)
 
         split_mask = {}
         for split in ("train", "valid", "test"):

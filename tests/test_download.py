@@ -64,3 +64,28 @@ def test_cli_offline_exits_nonzero(tmp_path, monkeypatch):
     monkeypatch.setattr(urllib.request, "urlopen", no_net)
     rc = dl.main(["yelp-chi", "--data_dir", str(tmp_path)])
     assert rc == 1
+
+
+def test_html_error_page_rejected(tmp_path, monkeypatch):
+    """Drive quota/interstitial pages come back HTTP-200 text/html; they
+    must not be committed as the dataset file (round-4 review)."""
+    import io
+    import urllib.request
+
+    class FakeResp(io.BytesIO):
+        headers = {"Content-Type": "text/html; charset=utf-8"}
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_open(*a, **k):
+        return FakeResp(b"<!DOCTYPE html><html>Quota exceeded</html>")
+
+    monkeypatch.setattr(urllib.request, "urlopen", fake_open)
+    dest = os.path.join(str(tmp_path), "YelpChi.mat")
+    with pytest.raises(ConnectionError, match="HTML"):
+        dl.drive_fetch("x", dest)
+    assert not os.path.exists(dest) and not os.path.exists(dest + ".part")

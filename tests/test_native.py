@@ -152,3 +152,42 @@ def test_fill_chunks_sorted_matches_lexsort_path():
         assert a is not None and b is not None
         for x, y in zip(a, b):
             assert np.array_equal(x, y)
+
+
+def test_fallback_plan_handles_global_src_ids(monkeypatch):
+    """Regression (round-4 review): the no-native-lib fallback sort keyed
+    windows by ``(dst//W)*num_nodes + src``, which collides across windows
+    whenever src ids exceed ``num_nodes`` — exactly the rectangular fwd
+    plans ``parallel/partition.py::_shard_chunk_plans`` builds (GLOBAL
+    source ids, per-shard output rows).  The key's src stride must exceed
+    max(src)."""
+    from sgformer_tpu.kernels import chunks as ch
+    from sgformer_tpu.native import api
+
+    monkeypatch.setattr(api, "fill_chunk_plan_native", lambda *a, **k: None)
+    monkeypatch.setattr(
+        api, "fill_chunk_plan_sorted_native", lambda *a, **k: None
+    )
+
+    rng = np.random.default_rng(2)
+    block, total, e, C, W = 64, 256, 400, 32, 16
+    src = rng.integers(0, total, e).astype(np.int64)  # GLOBAL ids > block
+    dst = np.sort(rng.integers(0, block, e)).astype(np.int64)
+    w = rng.random(e).astype(np.float32)
+    plan = ch._build_plan(src, dst, w, block, C, W)
+
+    # densify the plan: every slot scatters weight * x[gather] into its
+    # window row; must equal the plain segment-sum oracle
+    x = rng.random((total, 3)).astype(np.float32)
+    g = np.asarray(plan.gather_idx)
+    ld = np.asarray(plan.local_dst)
+    wt = np.asarray(plan.weight)
+    wid = np.asarray(plan.window_id)
+    out = np.zeros((plan.num_rows_out, 3), np.float32)
+    for c in range(plan.num_chunks):
+        rows = wid[c] * W + ld[c]
+        assert (ld[c] >= 0).all() and (ld[c] < W).all()
+        np.add.at(out, rows, wt[c][:, None] * x[g[c]])
+    oracle = np.zeros_like(out)
+    np.add.at(oracle, dst, w[:, None] * x[src])
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-5)
