@@ -19,4 +19,8 @@ __version__ = "0.1.0"
 
 from sgformer_tpu.graph import Graph, preprocess_graph  # noqa: F401
 from sgformer_tpu.nn.sgformer import SGFormer, SGFormerConfig  # noqa: F401
-from sgformer_tpu.serve import Predictor, load_predictor  # noqa: F401
+from sgformer_tpu.serve import (  # noqa: F401
+    Predictor,
+    load_exported,
+    load_predictor,
+)

@@ -111,6 +111,69 @@ class Predictor:
         e = np.exp(z)
         return e / e.sum(axis=-1, keepdims=True)
 
+    def export_artifact(self, path: str, *,
+                        include_inputs: bool = False) -> str:
+        """Serialize the bound forward to a ``jax.export`` artifact.
+
+        The artifact captures the traced computation (StableHLO) for the
+        bound shapes/dtypes and the lowering platform — a serving process
+        restores it with :func:`load_exported` and calls it WITHOUT the
+        model code, flax, or this package being importable at all.  To
+        make that literal, the exported function takes the FLAT leaf
+        list of ``(params, batch_stats, x, graph)`` (plain arrays; the
+        pytree structure is baked into the trace), so the serving side
+        never needs the :class:`~sgformer_tpu.graph.Graph` class or a
+        registered pytree.  With ``include_inputs=True`` the leaves are
+        also written to ``path + ".inputs.npz"`` (ordered ``arr_0..``),
+        making the pair a self-contained serving bundle.  This is the
+        deployment hand-off the reference has no equivalent of: its
+        serving story ends at the eval block inside the training loop
+        (``large/main.py:144-156``).
+
+        Note the platform is baked in at export time (an artifact
+        exported under TPU lowers TPU-targeted StableHLO; export on the
+        deployment platform, or rely on jax.export's cross-platform
+        lowering if configured).
+        """
+        from jax import export as jax_export
+
+        args = (self.state["params"], self.state["batch_stats"], self.x,
+                self.graph)
+        leaves, treedef = jax.tree.flatten(args)
+
+        def flat_fwd(*flat):
+            return self._fwd(*jax.tree.unflatten(treedef, flat))
+
+        exp = jax_export.export(jax.jit(flat_fwd))(*leaves)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+        if include_inputs:
+            np.savez(path + ".inputs.npz",
+                     *[np.asarray(leaf) for leaf in leaves])
+        return path
+
+    def export_leaves(self) -> list:
+        """The flat argument list an exported artifact is called with."""
+        return jax.tree.leaves(
+            (self.state["params"], self.state["batch_stats"], self.x,
+             self.graph)
+        )
+
+
+def load_exported(path: str):
+    """Deserialize a :meth:`Predictor.export_artifact` file.
+
+    Returns the ``jax.export.Exported``; invoke via ``.call(*leaves)``
+    with the flat array list (``Predictor.export_leaves()``, or the
+    ``arr_0..`` arrays of the ``.inputs.npz`` bundle — shapes/dtypes are
+    validated by jax.export).  Output rows are in the graph's
+    (possibly slab-reordered) node order; apply the predictor's inverse
+    permutation for original ids."""
+    from jax import export as jax_export
+
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
 
 def load_predictor(ckpt_path: str, model, graph, x,
                    model_kwargs: Optional[dict] = None,

@@ -88,3 +88,29 @@ def test_compiled_predictor_never_retraces(trained):
         out1 = pred.logits()
         out2 = pred.logits()
     np.testing.assert_allclose(out1, out2)
+
+
+def test_export_artifact_roundtrip(trained, tmp_path):
+    """jax.export hand-off: the serialized artifact reproduces the
+    predictor's logits when called with the same pytrees — the
+    model-code-free deployment path (serve.py round-4 addition)."""
+    from sgformer_tpu.serve import load_exported
+
+    ds, graph, model, trainer = trained
+    state = trainer.final_state
+    p = Predictor(model, graph, ds.graph["node_feat"], state)
+    want = p.logits()
+    path = str(tmp_path / "sgformer.jaxexport")
+    p.export_artifact(path, include_inputs=True)
+    exp = load_exported(path)
+    # call with the flat leaves restored FROM THE BUNDLE — proving the
+    # serving side needs no package types at all
+    import numpy as _np
+
+    bundle = _np.load(path + ".inputs.npz")
+    leaves = [bundle[k] for k in sorted(bundle.files,
+                                        key=lambda s: int(s.split("_")[1]))]
+    got = np.asarray(exp.call(*leaves))
+    if p._inv_perm is not None:
+        got = got[p._inv_perm]
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
