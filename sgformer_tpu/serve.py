@@ -15,6 +15,9 @@ serving on TPU wants more:
 * **Checkpoint loading** — restores the orbax layout written by
   :func:`sgformer_tpu.train.checkpoint.save_checkpoint` (params +
   batch_stats; optimizer state is ignored for serving).
+* **Export hand-off** — ``export_artifact()`` serializes the forward as
+  a ``jax.export`` StableHLO artifact with a flat array signature; a
+  serving process restores and calls it without this package installed.
 
 Full-graph transductive serving: one compiled program answers any subset
 of nodes (logits for all N are produced in ~one forward; slice on the
@@ -71,6 +74,7 @@ class Predictor:
             return out[0] if isinstance(out, tuple) else out
 
         self._fwd = fwd
+        self._jitted = None  # lazy jit for the un-compiled path
 
     def compile(self) -> "Predictor":
         """AOT-lower and compile the forward for the bound shapes: after
@@ -86,7 +90,11 @@ class Predictor:
         """[N, C] float32 logits in the ORIGINAL node order."""
         fn = self._compiled
         if fn is None:
-            fn = jax.jit(self._fwd)
+            # cache the jitted callable — a fresh jax.jit per call would
+            # retrace the model on every request (round-4 review pattern)
+            if self._jitted is None:
+                self._jitted = jax.jit(self._fwd)
+            fn = self._jitted
         out = np.asarray(
             fn(self.state["params"], self.state["batch_stats"], self.x,
                self.graph)
