@@ -84,11 +84,12 @@ def seed_compile_cache() -> None:
     below covers the recompile.
     """
     src = os.path.join(REPO, "bench_cache")
-    # same resolution as utils.cache.enable_compilation_cache — seeding
-    # a different directory than jax reads would silently cold-compile
-    dst = os.environ.get("SGFORMER_CACHE_DIR") or os.path.join(
-        REPO, ".jax_cache"
-    )
+    # shared resolution with utils.cache.enable_compilation_cache —
+    # seeding a different directory than jax reads would silently
+    # cold-compile (ADVICE round 4)
+    from sgformer_tpu.utils.cache import resolve_cache_dir
+
+    dst = resolve_cache_dir()
     if not os.path.isdir(src):
         return
     os.makedirs(dst, exist_ok=True)

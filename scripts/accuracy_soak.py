@@ -4,9 +4,10 @@ No real datasets exist in this environment (VERDICT round-1 §missing-1),
 so this is the strongest available evidence that the bf16 + slab-ssel +
 rbg-dropout fast path does not drift: train the published arxiv model
 shape (hidden 256, 1 trans + 3 gnn layers, ``large/run.sh:1-5``) on a
-HARD arxiv-shaped synthetic (homophily 0.55 — accuracy well below
-ceiling so drift would show), 3 runs each, and compare best-val-selected
-test accuracy:
+HARD arxiv-shaped synthetic (homophily 0.35 / feature_scale 0.12 — the
+round-4 calibration sweep's sub-ceiling operating point, ~75% best-val
+test, see the in-code comment at the ``hom, fs`` assignment), 3 runs
+each, and compare best-val-selected test accuracy:
 
   A. f32 + pallas chunk plans  (bit-exact vs the numpy oracle, tested)
   B. bf16 + ssel slab plans    (the bench.py production path)

@@ -274,6 +274,14 @@ class NeighborSampler:
                 yield f.result()
 
 
+class _ProducerError:
+    """Wrapper carrying an exception from the prefetch thread to the
+    consuming thread (re-raised by ``PrefetchIterator.__next__``)."""
+
+    def __init__(self, error: BaseException):
+        self.error = error
+
+
 class PrefetchIterator:
     """Run a batch iterator in a background thread with a bounded queue —
     the sampler works on batch k+1..k+depth while the device runs batch k
@@ -292,6 +300,10 @@ class PrefetchIterator:
         try:
             for item in iterator:
                 self.q.put(item)
+        except BaseException as e:  # propagate producer errors to consumer
+            # without this, a host-side error (e.g. an unservable batch)
+            # would silently truncate the epoch as a StopIteration
+            self.q.put(_ProducerError(e))
         finally:
             self.q.put(self._done)
 
@@ -302,4 +314,6 @@ class PrefetchIterator:
         item = self.q.get()
         if item is self._done:
             raise StopIteration
+        if isinstance(item, _ProducerError):
+            raise item.error
         return item

@@ -133,10 +133,18 @@ class Predictor:
         never needs the :class:`~sgformer_tpu.graph.Graph` class or a
         registered pytree.  With ``include_inputs=True`` the leaves are
         also written to ``path + ".inputs.npz"`` (ordered ``arr_0..``),
-        making the pair a self-contained serving bundle.  This is the
-        deployment hand-off the reference has no equivalent of: its
-        serving story ends at the eval block inside the training loop
-        (``large/main.py:144-156``).
+        making the pair a self-contained serving bundle.
+
+        **Node order**: slab-mode graphs carry a clustering reorder, so
+        the exported forward emits logits in the graph's internal node
+        order, not the caller's.  The bundle therefore always includes a
+        named ``inv_perm`` array in the ``.inputs.npz`` (identity when
+        the graph has no reorder): apply ``out[inv_perm]`` to recover
+        original node ids, exactly like :meth:`logits` does in-process.
+
+        This is the deployment hand-off the reference has no equivalent
+        of: its serving story ends at the eval block inside the training
+        loop (``large/main.py:144-156``).
 
         Note the platform is baked in at export time (an artifact
         exported under TPU lowers TPU-targeted StableHLO; export on the
@@ -156,8 +164,14 @@ class Predictor:
         with open(path, "wb") as f:
             f.write(exp.serialize())
         if include_inputs:
+            inv = (
+                self._inv_perm
+                if self._inv_perm is not None
+                else np.arange(self.x.shape[0], dtype=np.int64)
+            )
             np.savez(path + ".inputs.npz",
-                     *[np.asarray(leaf) for leaf in leaves])
+                     *[np.asarray(leaf) for leaf in leaves],
+                     inv_perm=inv)
         return path
 
     def export_leaves(self) -> list:

@@ -13,16 +13,28 @@ import os
 from typing import Optional
 
 
+def resolve_cache_dir(cache_dir: Optional[str] = None) -> str:
+    """The single source of truth for the on-disk jit cache location:
+    explicit argument > non-empty ``SGFORMER_CACHE_DIR`` > ``<repo>/.jax_cache``.
+    Everything that reads OR seeds the cache (``enable_compilation_cache``,
+    ``bench.py``'s warm-entry seeding) must resolve through here — two
+    resolutions that disagree on an edge case silently cold-compile
+    (seed one dir, read another)."""
+    if cache_dir:
+        return cache_dir
+    env = os.environ.get("SGFORMER_CACHE_DIR")
+    if env:
+        return env
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+    return os.path.join(repo_root, ".jax_cache")
+
+
 def enable_compilation_cache(cache_dir: Optional[str] = None) -> str:
     """Turn on the on-disk jit cache (idempotent).  Call BEFORE the first
     compilation; the CLI, bench, and graft entry points do this."""
     import jax
 
-    if cache_dir is None:
-        cache_dir = os.environ.get("SGFORMER_CACHE_DIR")
-    if cache_dir is None:
-        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
-        cache_dir = os.path.join(repo_root, ".jax_cache")
+    cache_dir = resolve_cache_dir(cache_dir)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -16,13 +16,29 @@ import pytest
 from sgformer_tpu.data import download as dl
 
 
-def test_registry_matches_loader_paths():
-    # loaders.py expects exactly these relative paths (loaders.py:527-553)
-    assert dl.DRIVE_FILES["pokec"] == {
-        "pokec/pokec.mat": "1dNs5E7BrWJbgcHeQ_zuy5Ozp2tRCWG0y"
-    }
-    assert list(dl.DRIVE_FILES["snap-patents"]) == ["snap_patents.mat"]
-    assert list(dl.DRIVE_FILES["yelp-chi"]) == ["YelpChi.mat"]
+def test_registry_matches_loader_paths(tmp_path):
+    """Derived from the LOADER side (ADVICE round 4): place a sentinel
+    file at each registry-relative path and assert ``load_dataset``'s own
+    file resolution finds and opens it — i.e. it fails PARSING the
+    sentinel, not with FileNotFoundError.  A registry path drifting from
+    what loaders.py actually reads turns into FileNotFoundError here."""
+    from sgformer_tpu.data.loaders import load_dataset
+
+    for name, files in dl.DRIVE_FILES.items():
+        data_dir = tmp_path / name.replace("/", "_")
+        for rel in files:
+            dest = data_dir / rel
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            dest.write_bytes(b"not a mat file")
+        try:
+            load_dataset(str(data_dir), name)
+        except FileNotFoundError as e:  # pragma: no cover - failure path
+            raise AssertionError(
+                f"loader for {name!r} did not look at the registry "
+                f"path(s) {sorted(files)}: {e}"
+            )
+        except Exception:
+            pass  # found the sentinel and choked on its content: agreement
 
 
 def test_fetch_keeps_existing_files(tmp_path):

@@ -108,9 +108,11 @@ def test_export_artifact_roundtrip(trained, tmp_path):
     import numpy as _np
 
     bundle = _np.load(path + ".inputs.npz")
-    leaves = [bundle[k] for k in sorted(bundle.files,
-                                        key=lambda s: int(s.split("_")[1]))]
+    leaves = [bundle[k]
+              for k in sorted((f for f in bundle.files if f.startswith("arr_")),
+                              key=lambda s: int(s.split("_")[1]))]
     got = np.asarray(exp.call(*leaves))
-    if p._inv_perm is not None:
-        got = got[p._inv_perm]
+    # the bundle is self-contained: its own inv_perm maps the exported
+    # forward's (possibly slab-reordered) rows back to original node ids
+    got = got[bundle["inv_perm"]]
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
