@@ -58,6 +58,11 @@ class MaskedBatchNorm(nn.Module):
                 s2 = (xf * xf * m).sum(axis=0)
             if self.axis_name is not None:
                 cnt, s1, s2 = jax.lax.psum((cnt, s1, s2), self.axis_name)
+            if node_mask is not None:
+                # empty padded group (all-masked): 0/0 would poison the
+                # grads of every dp peer through the gradient pmean; with
+                # >=1 real node the max() is a bit-exact no-op
+                cnt = jnp.maximum(cnt, 1.0)
             mean = s1 / cnt
             var = jnp.maximum(s2 / cnt - mean * mean, 0.0)
             if not self.is_initializing():

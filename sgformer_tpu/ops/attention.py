@@ -81,9 +81,20 @@ def linear_attention(
     else:
         n_total = n_local
 
-    q_norm = jnp.sqrt(q_sq)
-    k_norm = jnp.sqrt(k_sq)
-    inv_qk = 1.0 / (q_norm * k_norm)
+    if node_mask is None:
+        q_norm = jnp.sqrt(q_sq)
+        k_norm = jnp.sqrt(k_sq)
+        inv_qk = 1.0 / (q_norm * k_norm)
+    else:
+        # a fully-masked (empty) padded shard group has zero norms.  The
+        # guards must sit on the INPUTS of sqrt/divide (not a post-hoc
+        # where) or the backward still produces inf*0 = nan through the
+        # untaken branch; with >=1 real node q_sq/k_sq > 0 and every
+        # branch below is bit-exact with the unmasked formula.
+        nonzero = (q_sq > 0.0) & (k_sq > 0.0)
+        q_norm = jnp.sqrt(jnp.where(q_sq > 0.0, q_sq, 1.0))
+        k_norm = jnp.sqrt(jnp.where(k_sq > 0.0, k_sq, 1.0))
+        inv_qk = jnp.where(nonzero, 1.0 / (q_norm * k_norm), 0.0)
 
     num = (
         jnp.einsum("nhm,hmd->nhd", qs, kvs, preferred_element_type=jnp.float32) * inv_qk
@@ -94,6 +105,8 @@ def linear_attention(
         * inv_qk
         + n_total
     )[..., None]
+    if node_mask is not None:
+        den = jnp.where(den == 0.0, 1.0, den)
     out = (num / den).astype(compute_dtype)
 
     if output_attn:

@@ -31,12 +31,18 @@ from sgformer_tpu.graph import gcn_norm_weights
 from sgformer_tpu.parallel.partition import ShardGraph
 
 
-def _subgraph_shards(edge_index, node_idx, num_nodes_total, sp, edge_cap):
+def _subgraph_shards(edge_index, node_idx, num_nodes_total, sp, edge_cap,
+                     pad_nodes_to=None):
     """Relabeled node-induced subgraph, split into sp contiguous node
-    blocks with dst-local edges padded to ``edge_cap`` per shard."""
+    blocks with dst-local edges padded to ``edge_cap`` per shard.
+    ``pad_nodes_to`` sizes the node dimension for a SHORT (tail) batch so
+    it shares the full batch's compiled shape; the extra rows are
+    isolated pad nodes (masked out by the caller's nmask)."""
     node_idx = np.asarray(node_idx)
     b = len(node_idx)
-    block = -(-b // sp)
+    b_target = b if pad_nodes_to is None else int(pad_nodes_to)
+    assert b <= b_target, (b, b_target)
+    block = -(-b_target // sp)
     b_pad = block * sp
     mapping = np.full(num_nodes_total, -1, dtype=np.int64)
     mapping[node_idx] = np.arange(b)
@@ -68,17 +74,21 @@ def build_dp_sp_batch(
     sp: int,
     edge_cap: int,
     axis_name: str = "sp",
+    pad_nodes_to=None,
 ):
     """Stack ``dp = len(node_batches)`` subgraph batches into one
-    [dp, sp, ...] device batch.  All batches must share one size."""
+    [dp, sp, ...] device batch.  All batches share one COMPILED size:
+    ``pad_nodes_to`` (default: the first batch's length); shorter (even
+    empty) batches — the epoch's remainder step — are padded with
+    isolated nodes and masked via the returned nmask."""
     dp = len(node_batches)
-    b = len(node_batches[0])
+    b = int(pad_nodes_to) if pad_nodes_to is not None else len(node_batches[0])
     srcs, dsts, ws = [], [], []
     block = b_pad = None
     for nb in node_batches:
-        assert len(nb) == b, "dp batches must share one size"
+        assert len(nb) <= b, "dp batch longer than pad_nodes_to"
         s, d, w, block, b_pad = _subgraph_shards(
-            edge_index, nb, num_nodes_total, sp, edge_cap
+            edge_index, nb, num_nodes_total, sp, edge_cap, pad_nodes_to=b
         )
         srcs.append(s)
         dsts.append(d)
@@ -96,8 +106,8 @@ def build_dp_sp_batch(
     idx = np.zeros((dp, b_pad), dtype=np.int64)
     nmask = np.zeros((dp, b_pad), dtype=np.float32)
     for g, nb in enumerate(node_batches):
-        idx[g, :b] = nb
-        nmask[g, :b] = 1.0
+        idx[g, : len(nb)] = nb
+        nmask[g, : len(nb)] = 1.0
     return graph, idx, nmask
 
 
@@ -151,11 +161,20 @@ def make_dp_sp_train_step(
             s, c = jax.lax.psum(
                 (jnp.sum(per * m), jnp.sum(m)), (dp_axis, sp_axis)
             )
-            return s / c, mut["batch_stats"]
+            # max(c,1): a remainder step may carry zero train nodes
+            return s / jnp.maximum(c, 1.0), mut["batch_stats"]
 
         (lv, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, (dp_axis, sp_axis))
-        new_bs = jax.lax.pmean(new_bs, dp_axis)  # sync BN stats across groups
+        # sync BN running stats across groups, weighted by each group's
+        # REAL node count: the epoch-remainder step carries short (even
+        # empty) groups whose decayed stats must not skew the estimate;
+        # for equal full groups this reduces like a plain pmean
+        gcount = jax.lax.psum(jnp.sum(nmask), sp_axis)
+        wsum = jax.lax.psum(gcount, dp_axis)
+        new_bs = jax.tree.map(
+            lambda t: jax.lax.psum(t * (gcount / wsum), dp_axis), new_bs
+        )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_bs, opt_state, lv

@@ -55,6 +55,7 @@ class DPBatchTrainer:
         self.config = config
         self.eval_func = eval_func or METRICS[config.metric]
         self.num_nodes = self.x.shape[0]
+        self.final_state = None
 
     def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
         cfg = self.config
@@ -66,7 +67,13 @@ class DPBatchTrainer:
         np_rng = np.random.default_rng(cfg.seed)
         B = cfg.batch_size
         groups_per_step = self.dp
-        num_steps = self.num_nodes // (B * groups_per_step)
+        # the epoch covers ALL nodes (the reference trains its remainder
+        # batch, main-batch.py:129): the final step carries the leftover
+        # < B*dp nodes split as evenly as possible across groups, padded
+        # to the full compiled shape and masked
+        full_steps = self.num_nodes // (B * groups_per_step)
+        remainder = self.num_nodes - full_steps * B * groups_per_step
+        num_steps = full_steps + (remainder > 0)
         exp_edges = int(
             self.edge_index.shape[1] * (B / self.num_nodes) ** 2 / self.sp + B
         )
@@ -110,13 +117,23 @@ class DPBatchTrainer:
                 perm = np_rng.permutation(self.num_nodes)
                 for i in range(num_steps):
                     base = i * B * self.dp
-                    batches = [
-                        perm[base + g * B: base + (g + 1) * B]
-                        for g in range(self.dp)
-                    ]
+                    if i < full_steps:
+                        batches = [
+                            perm[base + g * B: base + (g + 1) * B]
+                            for g in range(self.dp)
+                        ]
+                    else:
+                        r = perm[base:]
+                        szs = [
+                            len(r) // self.dp + (g < len(r) % self.dp)
+                            for g in range(self.dp)
+                        ]
+                        off = np.concatenate([[0], np.cumsum(szs)])
+                        batches = [r[off[g]:off[g + 1]]
+                                   for g in range(self.dp)]
                     graph, idx, nmask = build_dp_sp_batch(
                         self.edge_index, batches, self.num_nodes,
-                        sp=self.sp, edge_cap=edge_cap,
+                        sp=self.sp, edge_cap=edge_cap, pad_nodes_to=B,
                     )
                     rng, drop = jax.random.split(rng)
                     params, bs, opt_state, loss = step(
@@ -137,6 +154,7 @@ class DPBatchTrainer:
                         )
             if cfg.display_step >= 0:
                 logger.print_statistics(run)
+            self.final_state = {"params": params, "batch_stats": bs}
         return logger
 
     def _make_eval(self, edge_cap):
@@ -164,9 +182,10 @@ class DPBatchTrainer:
             )
 
         @jax.jit
-        def fwd1(params, bs, x, graph):
+        def fwd1(params, bs, x, graph, node_mask):
             return model_eval.apply(
                 {"params": params, "batch_stats": bs}, x, graph, train=False,
+                node_mask=node_mask,
             )
 
         def run(params, bs, split_idx):
@@ -175,19 +194,31 @@ class DPBatchTrainer:
             for split in ("train", "valid", "test"):
                 sidx = np.asarray(split_idx[split])
                 total = correct = 0
-                for i in range(0, max(len(sidx) - B + 1, 1), B):
+                for i in range(0, len(sidx), B):
                     bidx = sidx[i: i + B]
-                    if len(bidx) < B:
-                        break
+                    k = len(bidx)
+                    # tail batch: pad to the compiled shape, mask out the
+                    # pad rows — every split node is scored (a split
+                    # smaller than B used to evaluate to 0.0)
                     gb = build_subgraph_batch(
                         self.edge_index, bidx, self.num_nodes,
                         bucket=edge_cap * self.sp,
+                        pad_nodes_to=B if k < B else None,
                     )
+                    xb = self.x[bidx]
+                    if k < B:
+                        xb = np.concatenate([
+                            xb,
+                            np.zeros((B - k, xb.shape[1]), dtype=xb.dtype),
+                        ])
+                    nm = np.zeros(B, dtype=np.float32)
+                    nm[:k] = 1.0
                     out = np.asarray(
-                        fwd1(params, bs, jnp.asarray(self.x[bidx]), gb)
-                    )
+                        fwd1(params, bs, jnp.asarray(xb), gb,
+                             jnp.asarray(nm))
+                    )[:k]
                     pred = out.argmax(-1)
-                    total += len(bidx)
+                    total += k
                     correct += int((pred == self.label_flat[bidx]).sum())
                 res[split] = correct / max(total, 1)
             return res

@@ -114,7 +114,14 @@ class NeighborSampler:
         use_native: bool = True,
     ):
         self.use_native = use_native
-        self.csr = CSRGraph.from_edge_index(edge_index, num_nodes)
+        # a prebuilt CSRGraph (e.g. data/prep.py's out-of-core builder at
+        # 10M+ nodes) skips the in-RAM edge sort entirely
+        if isinstance(edge_index, CSRGraph):
+            assert edge_index.num_nodes == num_nodes, (
+                edge_index.num_nodes, num_nodes)
+            self.csr = edge_index
+        else:
+            self.csr = CSRGraph.from_edge_index(edge_index, num_nodes)
         self.fanouts = list(fanouts)
         self.batch_size = batch_size
         self.rng = np.random.default_rng(seed)
@@ -245,18 +252,23 @@ class NeighborSampler:
         seed_pool: np.ndarray,
         shuffle: bool = True,
         workers: int = 0,
+        drop_last: bool = False,
     ) -> Iterator[SampledBatch]:
-        """Full-batch iterator over the seed pool (drops the remainder so
-        every batch has exactly ``batch_size`` seeds, like the reference's
-        ``drop_last`` semantics for static shapes).  ``workers > 0``
-        samples batches concurrently in a thread pool — the C++ sampler
-        releases the GIL, so this is real parallelism (PyG's
-        ``num_workers=12`` equivalent, ``100M/nb-sample.py:131``) with
+        """Batch iterator over the seed pool.  The remainder batch IS
+        yielded (``num_seeds < batch_size``): the reference's
+        NeighborLoader has no drop_last, and its loop reads the per-batch
+        ``graph.batch_size`` (``100M/nb-sample.py:174,181``) so the tail
+        seeds train and evaluate — static shapes here come from the
+        node/edge caps, which pad the tail batch like any other.
+        ``workers > 0`` samples batches concurrently in a thread pool —
+        the C++ sampler releases the GIL, so this is real parallelism
+        (PyG's ``num_workers=12`` equivalent, ``nb-sample.py:131``) with
         in-order delivery."""
         pool = np.asarray(seed_pool)
         if shuffle:
             pool = pool[self.rng.permutation(len(pool))]
-        starts = range(0, len(pool) - self.batch_size + 1, self.batch_size)
+        last = len(pool) - self.batch_size + 1 if drop_last else len(pool)
+        starts = range(0, last, self.batch_size)
         if workers <= 0:
             for i in starts:
                 yield self.sample(pool[i: i + self.batch_size])

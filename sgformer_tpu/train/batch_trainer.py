@@ -3,8 +3,11 @@
 
 Reference semantics preserved:
 - each epoch draws a fresh random node permutation and slices it into
-  ``n // batch_size`` equal batches (remainder dropped,
-  ``main-batch.py:134-136``);
+  ``n // batch_size + (n % batch_size > 0)`` batches — the remainder
+  batch IS trained, exactly like the reference
+  (``main-batch.py:129,134-136``); here the tail reuses the full-batch
+  compiled shape via node padding + ``node_mask`` (pad nodes are
+  isolated, masked out of attention, BatchNorm statistics, and the loss);
 - each batch trains on its node-induced subgraph (cross-batch edges
   dropped, nodes relabeled — PyG ``subgraph`` at ``main-batch.py:139``);
 - the attention branch sees only the batch's nodes (N in the kernel = batch
@@ -25,6 +28,7 @@ dispatch queue (jax async dispatch).
 from __future__ import annotations
 
 import dataclasses
+import sys
 from typing import Optional
 
 from functools import partial
@@ -36,9 +40,21 @@ import optax
 
 from sgformer_tpu.data.metrics import METRICS, count_correct
 from sgformer_tpu.graph import Graph, gcn_norm_weights, pyg_gcn_norm
+from sgformer_tpu.sample.neighbor import PrefetchIterator
 from sgformer_tpu.train.logger import RunLogger
 from sgformer_tpu.train.optim import dual_weight_decay_adam
 from sgformer_tpu.train.trainer import TrainConfig
+
+
+class BucketOverflowError(ValueError):
+    """A subgraph batch exceeded its edge bucket.  Carries the sizes so
+    the trainer can climb the bucket ladder and retry (one recompile)
+    instead of killing a run hours in (round-4 VERDICT weak #3)."""
+
+    def __init__(self, cap: int, edges: int):
+        super().__init__(f"bucket {cap} < subgraph edges {edges}")
+        self.cap = cap
+        self.edges = edges
 
 
 def edge_bucket(n_edges: int, ladder_base: int = 4096, growth: float = 1.3) -> int:
@@ -83,7 +99,7 @@ def build_subgraph_batch(
     e = len(s)
     cap = bucket if bucket is not None else edge_bucket(e)
     if e > cap:
-        raise ValueError(f"bucket {cap} < subgraph edges {e}")
+        raise BucketOverflowError(cap, e)
     pad = cap - e
     s = np.concatenate([s, np.zeros(pad, dtype=s.dtype)])
     d = np.concatenate([d, np.full(pad, b_out - 1, dtype=d.dtype)])
@@ -171,6 +187,11 @@ class BatchTrainer:
             else:
                 self.label_onehot = self.label_np.astype(np.float32)
         self._steps = {}
+        # opt-in per-batch loss capture (parity tests); final_state is
+        # always populated by fit()
+        self.record_losses = False
+        self.final_state = None
+        self.train_losses: list = []
 
     # -- jitted per-bucket steps --------------------------------------------
 
@@ -178,7 +199,12 @@ class BatchTrainer:
         cfg = self.config
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(state, opt_state, rng, x_b, graph_b, label_b, train_mask_b):
+        def train_step(state, opt_state, rng, x_b, graph_b, label_b,
+                       train_mask_b, node_mask_b=None):
+            # node_mask_b is None for full batches (trace identical to the
+            # pre-tail-fix step) and a [B] 0/1 array for the padded tail
+            # batch: pad nodes are excluded from attention, BN statistics
+            # (MaskedBatchNorm), and — via train_mask_b=False — the loss.
             def loss_fn(params, batch_stats):
                 out, mut = self.model.apply(
                     {"params": params, "batch_stats": batch_stats},
@@ -187,6 +213,7 @@ class BatchTrainer:
                     train=True,
                     rngs={"dropout": rng},
                     mutable=["batch_stats"],
+                    node_mask=node_mask_b,
                 )
                 m = train_mask_b.astype(jnp.float32)
                 if cfg.loss == "bce":
@@ -209,6 +236,39 @@ class BatchTrainer:
             return {"params": params, "batch_stats": new_bs}, opt_state, loss
 
         return train_step
+
+    # -- subgraph construction with bucket escalation ------------------------
+
+    def _build_batch(self, bidx, *, which: str = "train",
+                     pad_nodes_to: Optional[int] = None) -> Graph:
+        """``build_subgraph_batch`` against the current bucket, escalating
+        up the ladder on overflow.  The one-bucket-per-run heuristic sizes
+        to EXPECTED edges with 2× headroom; on heavy-tailed graphs
+        (snap-patents, pokec) a hub-rich random batch can exceed it hours
+        into a run — instead of crashing, climb to the smallest ladder
+        rung covering the batch (strictly larger than the old bucket, so
+        exactly one recompile per escalation) and keep it for the rest of
+        the run."""
+        attr = "_bucket" if which == "train" else "_eval_bucket"
+        while True:
+            try:
+                return build_subgraph_batch(
+                    self.edge_index, bidx, self.num_nodes,
+                    with_pyg_norm=self.with_pyg_norm,
+                    bucket=getattr(self, attr),
+                    use_pallas=self.config.use_pallas,
+                    chunk_interpret=self.chunk_interpret,
+                    pad_nodes_to=pad_nodes_to,
+                )
+            except BucketOverflowError as e:
+                new = edge_bucket(e.edges, self.config.ladder_base)
+                print(
+                    f"[batch_trainer] {which} edge bucket overflow: "
+                    f"{e.edges} edges > bucket {e.cap}; escalating to "
+                    f"{new} (one recompile)",
+                    file=sys.stderr, flush=True,
+                )
+                setattr(self, attr, new)
 
     # -- eval ---------------------------------------------------------------
 
@@ -300,24 +360,27 @@ class BatchTrainer:
         perm = np_rng.permutation(self.num_nodes)
         total = {s: 0 for s in split_mask}
         correct = {s: 0 for s in split_mask}
-        for i in range(0, self.num_nodes, B):
-            bidx = perm[i : i + B]
-            r = len(bidx)
-            gb = build_subgraph_batch(
-                self.edge_index, bidx, self.num_nodes,
-                with_pyg_norm=self.with_pyg_norm,
-                bucket=self._eval_bucket,
-                use_pallas=cfg.use_pallas,
-                chunk_interpret=self.chunk_interpret,
-                pad_nodes_to=B,
-            )
-            xb = self.x[bidx]
-            if r < B:
-                xb = np.concatenate(
-                    [xb, np.zeros((B - r, xb.shape[1]), dtype=xb.dtype)]
-                )
-            nm = np.zeros(B, dtype=np.float32)
-            nm[:r] = 1.0
+
+        def eval_iter():
+            # host-side subgraph construction overlapped with the device
+            # forward via the prefetch thread, mirroring the train loop —
+            # the eval sweep visits ALL n nodes per eval epoch, so a
+            # serial host build (46 ms/batch measured) would serialize
+            # ~n/B * 46 ms of host work per eval (round-4 VERDICT weak #4)
+            for i in range(0, self.num_nodes, B):
+                bidx = perm[i : i + B]
+                r = len(bidx)
+                gb = self._build_batch(bidx, which="eval", pad_nodes_to=B)
+                xb = self.x[bidx]
+                if r < B:
+                    xb = np.concatenate(
+                        [xb, np.zeros((B - r, xb.shape[1]), dtype=xb.dtype)]
+                    )
+                nm = np.zeros(B, dtype=np.float32)
+                nm[:r] = 1.0
+                yield bidx, r, gb, xb, nm
+
+        for bidx, r, gb, xb, nm in PrefetchIterator(eval_iter(), depth=2):
             out = np.asarray(
                 fwd(state, jnp.asarray(xb), gb, jnp.asarray(nm))
             )[:r]
@@ -332,18 +395,33 @@ class BatchTrainer:
 
     # -- main loop -----------------------------------------------------------
 
-    def fit(self, split_idx_lst, rng: Optional[jax.Array] = None):
+    def fit(self, split_idx_lst, rng: Optional[jax.Array] = None,
+            np_rng: Optional[np.random.Generator] = None,
+            init_variables: Optional[dict] = None):
+        """Train ``cfg.runs`` runs.  ``np_rng`` / ``init_variables`` are
+        injection points (parity tests drive ``fit`` itself against the
+        reference loop with pinned permutations and copied weights);
+        ``init_variables`` is re-materialized per run because the step
+        donates its buffers.  After return, ``self.final_state`` holds the
+        last run's trained state and ``self.train_losses`` its per-batch
+        losses (float, in order) when ``self.record_losses`` is set."""
         cfg = self.config
         logger = RunLogger(cfg.runs, mode=cfg.mode)
         if rng is None:
             from sgformer_tpu.utils.rng import train_key
 
             rng = train_key(cfg.seed, cfg.rng_impl)
-        np_rng = np.random.default_rng(cfg.seed)
+        if np_rng is None:
+            np_rng = np.random.default_rng(cfg.seed)
         B = cfg.batch_size
-        num_batches = self.num_nodes // B
+        # the reference trains the remainder batch too
+        # (main-batch.py:129: num_batch = n // batch_size + (n % > 0));
+        # the tail reuses the full-batch compiled shape via node padding
+        tail = self.num_nodes % B
+        num_batches = self.num_nodes // B + (tail > 0)
         # one bucket for all batches: size to the expected subgraph edge
         # count with headroom, so every step shares one compiled shape
+        # (escalated on overflow by _build_batch)
         exp_edges = int(
             self.edge_index.shape[1] * (B / self.num_nodes) ** 2 + B
         )
@@ -358,16 +436,22 @@ class BatchTrainer:
             train_set[np.asarray(split_idx["train"])] = True
 
             rng, init_rng = jax.random.split(rng)
-            warm_idx = np.arange(B)
-            warm_graph = build_subgraph_batch(
-                self.edge_index, warm_idx, self.num_nodes,
-                with_pyg_norm=self.with_pyg_norm, bucket=self._bucket,
-                use_pallas=cfg.use_pallas,
-                chunk_interpret=self.chunk_interpret,
-            )
-            variables = jax.jit(
-                lambda r, x, g: self.model.init({"params": r}, x, g, train=False)
-            )(init_rng, jnp.asarray(self.x[warm_idx]), warm_graph)
+            if init_variables is not None:
+                # fresh buffers per run: the train step donates state
+                # (jnp.array COPIES; asarray would alias and be donated)
+                variables = jax.tree.map(jnp.array, init_variables)
+            else:
+                warm_idx = np.arange(min(B, self.num_nodes))
+                warm_graph = self._build_batch(
+                    warm_idx,
+                    pad_nodes_to=B if len(warm_idx) < B else None,
+                )
+                variables = jax.jit(
+                    lambda r, x, g: self.model.init(
+                        {"params": r}, x, g, train=False
+                    )
+                )(init_rng, jnp.asarray(_pad_rows(self.x[warm_idx], B)),
+                  warm_graph)
             params = variables["params"]
             state = {
                 "params": params,
@@ -378,6 +462,7 @@ class BatchTrainer:
             )
             opt_state = tx.init(params)
             train_step = self._train_step_for(tx)
+            losses = []
 
             for epoch in range(cfg.epochs):
                 perm = np_rng.permutation(self.num_nodes)
@@ -389,29 +474,38 @@ class BatchTrainer:
                     # bottleneck, main-batch.py:139)
                     for i in range(num_batches):
                         bidx = perm[i * B : (i + 1) * B]
-                        gb = build_subgraph_batch(
-                            self.edge_index, bidx, self.num_nodes,
-                            with_pyg_norm=self.with_pyg_norm,
-                            bucket=self._bucket,
-                            use_pallas=cfg.use_pallas,
-                            chunk_interpret=self.chunk_interpret,
+                        r = len(bidx)
+                        gb = self._build_batch(
+                            bidx, pad_nodes_to=B if r < B else None
                         )
+                        xb = self.x[bidx]
                         lab = (
                             self.label_onehot[bidx]
                             if cfg.loss == "bce"
                             else self.label_flat[bidx]
                         )
-                        yield bidx, gb, lab
+                        tm = train_set[bidx]
+                        nm = None
+                        if r < B:  # padded tail batch
+                            xb = _pad_rows(xb, B)
+                            lab = _pad_rows(lab, B)
+                            tm = _pad_rows(tm, B)
+                            nm = np.zeros(B, dtype=np.float32)
+                            nm[:r] = 1.0
+                        yield xb, gb, lab, tm, nm
 
-                from sgformer_tpu.sample.neighbor import PrefetchIterator
-
-                for bidx, gb, lab in PrefetchIterator(batch_iter(), depth=2):
+                for xb, gb, lab, tm, nm in PrefetchIterator(
+                    batch_iter(), depth=2
+                ):
                     rng, drop = jax.random.split(rng)
                     state, opt_state, loss = train_step(
                         state, opt_state, drop,
-                        jnp.asarray(self.x[bidx]), gb, jnp.asarray(lab),
-                        jnp.asarray(train_set[bidx]),
+                        jnp.asarray(xb), gb, jnp.asarray(lab),
+                        jnp.asarray(tm),
+                        None if nm is None else jnp.asarray(nm),
                     )
+                    if self.record_losses:
+                        losses.append(loss)
                 if epoch % cfg.eval_step == 0:
                     if cfg.eval_mode == "batch":
                         accs = self._eval_streaming(state, split_idx, np_rng)
@@ -429,6 +523,9 @@ class BatchTrainer:
                         )
             if cfg.display_step >= 0:
                 logger.print_statistics(run)
+            self.final_state = state
+            if self.record_losses:
+                self.train_losses = [float(v) for v in losses]
         return logger
 
     def _full_metrics(self, out, split_idx):
@@ -444,6 +541,16 @@ class BatchTrainer:
         )
         res.append(vloss)
         return tuple(res)
+
+
+def _pad_rows(a: np.ndarray, rows: int) -> np.ndarray:
+    """Pad array to ``rows`` along axis 0 with zeros (False for bool)."""
+    pad = rows - a.shape[0]
+    if pad <= 0:
+        return a
+    return np.concatenate(
+        [a, np.zeros((pad,) + a.shape[1:], dtype=a.dtype)]
+    )
 
 
 def _np_logsumexp(x):

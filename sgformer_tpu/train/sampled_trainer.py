@@ -4,7 +4,9 @@
 Reference semantics preserved:
 - train/valid/test each get their own sampler over their split's seeds;
 - the loss reads only the SEED rows of the output (seeds are the first
-  ``batch_size`` rows, ``nb-sample.py:27-35``);
+  ``graph.batch_size`` rows — the PER-BATCH count, so the epoch's
+  remainder batch trains/evaluates its true seed tail exactly like the
+  reference, ``nb-sample.py:27-35,174,181``);
 - streaming correct/total eval over the valid/test loaders each epoch;
 - best-on-valid model selection, optional checkpoint save, and a
   ``--use_pretrained`` finetune path that restores the saved params
@@ -78,7 +80,14 @@ class SampledTrainer:
         else:
             self.x = np.asarray(x, dtype=np.float32)
         self.label = np.asarray(label).reshape(-1).astype(np.int32)
-        self.edge_index = np.asarray(edge_index)
+        from sgformer_tpu.sample.neighbor import CSRGraph
+
+        # edge_index may be a prebuilt CSRGraph (data/prep.py) — the
+        # 10M+/papers100M path where the edge list never sits in RAM
+        self.edge_index = (
+            edge_index if isinstance(edge_index, CSRGraph)
+            else np.asarray(edge_index)
+        )
         self.num_nodes = self.x.shape[0]
         self.sampler = NeighborSampler(
             self.edge_index,
@@ -95,7 +104,8 @@ class SampledTrainer:
         n_seed = cfg.batch_size
 
         @partial(jax.jit, donate_argnums=(0, 1))
-        def train_step(state, opt_state, rng, x_b, graph_b, label_b, node_mask):
+        def train_step(state, opt_state, rng, x_b, graph_b, label_b,
+                       node_mask, num_seeds_b):
             def loss_fn(params, batch_stats):
                 out, mut = self.model.apply(
                     {"params": params, "batch_stats": batch_stats},
@@ -106,12 +116,20 @@ class SampledTrainer:
                     rngs={"dropout": rng},
                     mutable=["batch_stats"],
                 )
-                # CrossEntropy on the seed rows only (nb-sample.py:30-33)
+                # CrossEntropy on the seed rows only (nb-sample.py:30-33).
+                # The reference reads the PER-BATCH seed count
+                # (``graph.batch_size``, nb-sample.py:174): the epoch's
+                # remainder batch has fewer than batch_size seeds, so the
+                # static [:n_seed] slice is masked down to the true count
+                # — rows past it are sampled NEIGHBORS, not padding, and
+                # averaging them in would train on non-seed labels.  Full
+                # batches reduce identically to a plain mean.
                 logp = jax.nn.log_softmax(out[:n_seed])
                 per = -jnp.take_along_axis(
                     logp, label_b[:n_seed, None], axis=1
                 )[:, 0]
-                return per.mean(), mut["batch_stats"]
+                m = (jnp.arange(n_seed) < num_seeds_b).astype(per.dtype)
+                return jnp.sum(per * m) / num_seeds_b, mut["batch_stats"]
 
             (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state["params"], state["batch_stats"]
@@ -210,6 +228,7 @@ class SampledTrainer:
                         g,
                         jnp.asarray(self.label[batch.node_ids]),
                         jnp.asarray(batch.node_mask),
+                        jnp.asarray(float(batch.num_seeds), jnp.float32),
                     )
                 accs = {
                     split: self._sweep(eval_step, state, np.asarray(split_idx[split]))

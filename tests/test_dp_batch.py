@@ -159,6 +159,40 @@ def test_dp_sp_training_converges():
     assert losses[-1] < losses[0] * 0.8, losses
 
 
+def test_dp_batch_trainer_tail_and_empty_group():
+    """Epoch-remainder coverage on the dp mesh (round-5): n=241 with
+    B=120, dp=2 gives one full step plus a remainder step whose groups
+    carry 1 and 0 real nodes.  The empty group exercises the
+    masked-attention/BN zero-count guards — without them its inf/nan
+    would poison every peer through the gradient pmean — and the split
+    smaller than B exercises the padded eval tail (previously 0.0)."""
+    from sgformer_tpu.parallel.dp_trainer import DPBatchTrainer
+    from sgformer_tpu.train import BatchTrainConfig
+
+    ds = synthetic_dataset(num_nodes=241, num_edges=2000, num_features=12,
+                           num_classes=4, seed=3)
+    n = ds.num_nodes
+    e = add_self_loops(remove_self_loops(to_undirected(ds.graph["edge_index"])), n)
+    cfg = BatchTrainConfig(
+        lr=0.02, epochs=6, eval_step=5, batch_size=120, ladder_base=512,
+        display_step=-1,
+    )
+    model = SGFormer(SGFormerConfig(16, 4, gnn="graphconv", axis_name="sp",
+                                    trans_dropout=0.0, gnn_dropout=0.0))
+    trainer = DPBatchTrainer(
+        model, e, ds.graph["node_feat"], np.asarray(ds.label), cfg,
+        mesh=make_mesh((2, 4), ("dp", "sp")),
+    )
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = trainer.fit([split])
+    for leaf in jax.tree_util.tree_leaves(trainer.final_state):
+        assert np.isfinite(np.asarray(leaf)).all(), "nan/inf in state"
+    # every split is scored (valid split of 60 < B=120 used to be 0.0)
+    s = logger.run_summary(0)
+    assert s["final_test"] > 0.3
+    assert logger.results[0][-1][1] > 0.0  # valid acc nonzero
+
+
 def test_dp_batch_trainer_end_to_end():
     from sgformer_tpu.parallel.dp_trainer import DPBatchTrainer
     from sgformer_tpu.train import BatchTrainConfig

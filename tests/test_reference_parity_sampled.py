@@ -128,3 +128,103 @@ def test_sampled_step_vs_reference_train_fn():
     pred = np.asarray(jnp.argmax(out[:bs], axis=-1))
     correct = int((pred == gy[:bs]).sum())
     assert (correct, bs) == (int(t_correct), int(t_total))
+
+
+def test_sampled_tail_batch_vs_reference():
+    """The epoch's REMAINDER batch (num_seeds < batch_size): the reference
+    trains/evaluates it over its true per-batch seed count
+    (``graph.batch_size``, ``nb-sample.py:174,181`` — NeighborLoader has no
+    drop_last), so our sampler must yield it and the trainer's
+    seed-count-masked loss must reproduce the reference's step exactly.
+    Drives the REAL ``SampledTrainer._steps`` closures, not a hand-rolled
+    mirror (round-5: the round-4 sampler dropped the tail entirely)."""
+    ref_nb = load_reference(
+        "100M/nb-sample.py", "ref_nb_sample_tail",
+        stub_modules=(
+            "data_utils", "dataset", "parse", "torch_geometric.loader",
+            "torch_geometric.seed", "torch_geometric.data",
+        ),
+    )
+    ref_100m = load_reference("100M/ours.py", "ref_100m_ours_tail")
+
+    rng = np.random.default_rng(31)
+    n, f, classes, bs = 200, 12, 4, 32
+    edge_index = np.stack(
+        [rng.integers(0, n, 900), rng.integers(0, n, 900)]
+    ).astype(np.int64)
+    from sgformer_tpu.graph import add_self_loops, remove_self_loops, to_undirected
+
+    edges = add_self_loops(remove_self_loops(to_undirected(edge_index)), n)
+    x = rng.standard_normal((n, f)).astype(np.float32)
+    y = rng.integers(0, classes, n).astype(np.int64)
+
+    from sgformer_tpu.nn import SGFormer, SGFormerConfig
+    from sgformer_tpu.train.sampled_trainer import (SampledTrainConfig,
+                                                    SampledTrainer)
+
+    kw = dict(trans_num_layers=1, trans_num_heads=1, trans_dropout=0.0,
+              gnn_num_layers=2, gnn_dropout=0.0, alpha=0.5)
+    cfg = SGFormerConfig.papers100m(16, classes, **kw)
+    model = SGFormer(cfg)
+    tc = SampledTrainConfig(batch_size=bs, fanouts=(5, 3), seed=0,
+                            lr=0.01, trans_weight_decay=1e-3,
+                            gnn_weight_decay=1e-3)
+    trainer = SampledTrainer(model, edges, x, y, tc)
+    trainer.sampler.use_native = False
+
+    # pool of 48 seeds -> one full batch (32) + one TAIL batch (16)
+    pool = np.sort(rng.choice(n, 48, replace=False))
+    batches = list(trainer.sampler.epoch(pool, shuffle=False))
+    assert [b.num_seeds for b in batches] == [32, 16]
+    tail = batches[1]
+
+    # identical unpadded subgraph on the torch side
+    import types as _types
+
+    n_real = int(tail.node_mask.sum())
+    real_edges = tail.edge_weight > 0
+    ei_local = np.stack(
+        [tail.edge_src[real_edges], tail.edge_dst[real_edges]]
+    ).astype(np.int64)
+    graph_ns = _types.SimpleNamespace(
+        x=torch.tensor(x[tail.node_ids[:n_real]]),
+        edge_index=torch.tensor(ei_local),
+        y=torch.tensor(y[tail.node_ids[:n_real]]),
+    )
+
+    tmodel = ref_100m.SGFormer(f, 16, classes, **kw)
+    variables = copy_sgformer_variables(tmodel, 1, 2)
+    optimizer = torch.optim.Adam(
+        [
+            {"params": tmodel.params1, "weight_decay": 1e-3},
+            {"params": tmodel.params2, "weight_decay": 1e-3},
+        ],
+        lr=0.01,
+    )
+    # reference step over graph.batch_size = 16 (the tail's true count)
+    t_loss = ref_nb.train(tmodel, graph_ns, torch.nn.CrossEntropyLoss(),
+                          optimizer, tail.num_seeds)
+    t_correct, t_total = ref_nb.evaluate(tmodel, graph_ns, tail.num_seeds)
+
+    # ours: the trainer's own jitted closures on the padded tail batch
+    tx = dual_weight_decay_adam(variables["params"], 0.01, 1e-3, 1e-3)
+    opt_state = tx.init(variables["params"])
+    train_step, eval_step = trainer._steps(tx)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    g_b = batch_graph(tail)
+    state, opt_state, loss = train_step(
+        state, opt_state, jax.random.PRNGKey(0),
+        jnp.asarray(x[tail.node_ids]), g_b,
+        jnp.asarray(y[tail.node_ids].astype(np.int32)),
+        jnp.asarray(tail.node_mask),
+        jnp.asarray(float(tail.num_seeds), jnp.float32),
+    )
+    np.testing.assert_allclose(float(loss), t_loss, rtol=2e-4)
+
+    pred = np.asarray(eval_step(
+        state, jnp.asarray(x[tail.node_ids]), g_b,
+        jnp.asarray(tail.node_mask),
+    ))[: tail.num_seeds]
+    correct = int((pred == y[tail.node_ids[: tail.num_seeds]]).sum())
+    assert (correct, tail.num_seeds) == (int(t_correct), int(t_total))
