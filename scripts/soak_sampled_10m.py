@@ -47,66 +47,82 @@ def rss_gb() -> float:
 
 
 def build():
+    # each phase skips if its output exists, so an interrupted build
+    # resumes instead of regenerating 7.5 GB (phases are rng-independent:
+    # every phase uses its own seeded Generator)
     os.makedirs(DATA_DIR, exist_ok=True)
-    rng = np.random.default_rng(0)
     t_all = time.time()
 
-    t0 = time.time()
-    label = rng.integers(0, C, N).astype(np.int32)
-    np.save(os.path.join(DATA_DIR, "labels.npy"), label)
-    print(f"[build] labels: {time.time()-t0:.0f}s rss={rss_gb():.1f}GB",
-          flush=True)
+    labels_p = os.path.join(DATA_DIR, "labels.npy")
+    if not os.path.exists(labels_p):
+        t0 = time.time()
+        label = np.random.default_rng(0).integers(0, C, N).astype(np.int32)
+        np.save(labels_p, label)
+        print(f"[build] labels: {time.time()-t0:.0f}s rss={rss_gb():.1f}GB",
+              flush=True)
+    label = np.load(labels_p)
 
     # features: class-conditional gaussians, written chunked into the memmap
-    t0 = time.time()
-    mm = np.lib.format.open_memmap(
-        os.path.join(DATA_DIR, "feat.npy"), mode="w+", dtype=np.float32,
-        shape=(N, F),
-    )
-    centers = (rng.standard_normal((C, F)) * 2.0).astype(np.float32)
-    for lo in range(0, N, 1_000_000):
-        hi = min(lo + 1_000_000, N)
-        mm[lo:hi] = centers[label[lo:hi]] + rng.standard_normal(
-            (hi - lo, F)
-        ).astype(np.float32)
-    mm.flush()
-    del mm
-    print(f"[build] features: {time.time()-t0:.0f}s rss={rss_gb():.1f}GB",
-          flush=True)
+    feat_p = os.path.join(DATA_DIR, "feat.npy")
+    if not os.path.exists(feat_p):
+        t0 = time.time()
+        rng = np.random.default_rng(1)
+        mm = np.lib.format.open_memmap(
+            feat_p + ".part", mode="w+", dtype=np.float32, shape=(N, F),
+        )
+        centers = (rng.standard_normal((C, F)) * 2.0).astype(np.float32)
+        for lo in range(0, N, 1_000_000):
+            hi = min(lo + 1_000_000, N)
+            mm[lo:hi] = centers[label[lo:hi]] + rng.standard_normal(
+                (hi - lo, F)
+            ).astype(np.float32)
+        mm.flush()
+        del mm
+        os.rename(feat_p + ".part", feat_p)
+        print(f"[build] features: {time.time()-t0:.0f}s "
+              f"rss={rss_gb():.1f}GB", flush=True)
 
     # edges: Zipf(1.1) popularity sources, homophilous destinations —
     # the synthetic_dataset(powerlaw=1.1) recipe, chunked
-    t0 = time.time()
-    pop = (np.arange(1, N + 1, dtype=np.float64) + 10.0) ** -1.1
-    pop = rng.permutation(pop / pop.sum())
-    order = np.argsort(label, kind="stable")
-    class_starts = np.searchsorted(label[order], np.arange(C))
-    class_ends = np.searchsorted(label[order], np.arange(C), side="right")
-    emm = np.lib.format.open_memmap(
-        os.path.join(DATA_DIR, "edges.npy"), mode="w+", dtype=np.int64,
-        shape=(2, E_DIR),
-    )
-    for lo in range(0, E_DIR, 15_000_000):
-        hi = min(lo + 15_000_000, E_DIR)
-        m = hi - lo
-        src = rng.choice(N, m, p=pop)
-        same = rng.random(m) < 0.8
-        ls, le = class_starts[label[src]], class_ends[label[src]]
-        dst_same = order[ls + (rng.random(m) * (le - ls)).astype(np.int64)]
-        dst = np.where(same, dst_same, rng.integers(0, N, m))
-        emm[0, lo:hi] = src
-        emm[1, lo:hi] = dst
-        print(f"[build] edges {hi}/{E_DIR} rss={rss_gb():.1f}GB", flush=True)
-    emm.flush()
-    del emm
-    print(f"[build] edges: {time.time()-t0:.0f}s", flush=True)
+    edges_p = os.path.join(DATA_DIR, "edges.npy")
+    if not os.path.exists(edges_p):
+        t0 = time.time()
+        rng = np.random.default_rng(2)
+        pop = (np.arange(1, N + 1, dtype=np.float64) + 10.0) ** -1.1
+        pop = rng.permutation(pop / pop.sum())
+        order = np.argsort(label, kind="stable")
+        class_starts = np.searchsorted(label[order], np.arange(C))
+        class_ends = np.searchsorted(label[order], np.arange(C),
+                                     side="right")
+        emm = np.lib.format.open_memmap(
+            edges_p + ".part", mode="w+", dtype=np.int64, shape=(2, E_DIR),
+        )
+        for lo in range(0, E_DIR, 15_000_000):
+            hi = min(lo + 15_000_000, E_DIR)
+            m = hi - lo
+            src = rng.choice(N, m, p=pop)
+            same = rng.random(m) < 0.8
+            ls, le = class_starts[label[src]], class_ends[label[src]]
+            dst_same = order[ls + (rng.random(m) * (le - ls)).astype(
+                np.int64)]
+            dst = np.where(same, dst_same, rng.integers(0, N, m))
+            emm[0, lo:hi] = src
+            emm[1, lo:hi] = dst
+            print(f"[build] edges {hi}/{E_DIR} rss={rss_gb():.1f}GB",
+                  flush=True)
+        emm.flush()
+        del emm
+        os.rename(edges_p + ".part", edges_p)
+        print(f"[build] edges: {time.time()-t0:.0f}s", flush=True)
 
     # splits 50/25/25
-    perm = rng.permutation(N)
-    np.save(os.path.join(DATA_DIR, "train_idx.npy"), perm[: N // 2])
-    np.save(os.path.join(DATA_DIR, "valid_idx.npy"),
-            perm[N // 2 : (3 * N) // 4])
-    np.save(os.path.join(DATA_DIR, "test_idx.npy"), perm[(3 * N) // 4 :])
+    if not os.path.exists(os.path.join(DATA_DIR, "train_idx.npy")):
+        perm = np.random.default_rng(3).permutation(N)
+        np.save(os.path.join(DATA_DIR, "train_idx.npy"), perm[: N // 2])
+        np.save(os.path.join(DATA_DIR, "valid_idx.npy"),
+                perm[N // 2 : (3 * N) // 4])
+        np.save(os.path.join(DATA_DIR, "test_idx.npy"),
+                perm[(3 * N) // 4 :])
 
     # out-of-core symmetrize + self-loops + CSR
     from sgformer_tpu.data.prep import build_undirected_csr
@@ -190,8 +206,9 @@ def run():
           f"batch {tc.batch_size}, 10M-node/{len(csr.indices)}-edge CSR)",
           flush=True)
 
-    # steady-state train step: fresh batches through the warm jit
-    from sgformer_tpu.sample.neighbor import PrefetchIterator
+    # steady-state train step: fresh batches through the warm jit, the
+    # full prepared pipeline (sampling+gather+bf16 cast in the prefetch
+    # thread, bf16 transfer)
     from sgformer_tpu.train.optim import dual_weight_decay_adam
 
     state = {
@@ -204,15 +221,15 @@ def run():
     train_step, eval_step = trainer._steps(tx)
     rng = jax.random.PRNGKey(7)
     k = 50
-    it = PrefetchIterator(
-        trainer.sampler.epoch(split["train"][: k * tc.batch_size]), depth=2)
     t0 = time.time()
     loss = None
-    for batch in it:
+    for batch, x_rows in trainer.prepared_epoch(
+        split["train"][: k * tc.batch_size]
+    ):
         g = batch_graph(batch)
         rng, drop = jax.random.split(rng)
         state, opt_state, loss = train_step(
-            state, opt_state, drop, jnp.asarray(trainer.x[batch.node_ids]),
+            state, opt_state, drop, jnp.asarray(x_rows),
             g, jnp.asarray(trainer.label[batch.node_ids]),
             jnp.asarray(batch.node_mask),
             jnp.asarray(float(batch.num_seeds), jnp.float32),
@@ -220,7 +237,7 @@ def run():
     _ = float(loss)  # value-fetch sync (relay-safe)
     step_ms = (time.time() - t0) / k * 1e3
     print(f"steady-state train: {step_ms:.0f} ms/batch end-to-end "
-          f"({k} batches, sampling+gather+step overlapped)", flush=True)
+          f"({k} batches, sampling+gather+cast prefetched)", flush=True)
 
     # at-scale eval-count parity: our sweep accumulation vs a from-scratch
     # mirror of the reference's evaluate() counts (nb-sample.py:38-45,
@@ -229,10 +246,10 @@ def run():
     ours_total = ours_correct = 0
     ref_total = ref_correct = 0
     n_batches = 0
-    for batch in trainer.sampler.epoch(seeds, shuffle=False):
+    for batch, x_rows in trainer.prepared_epoch(seeds, shuffle=False):
         g = batch_graph(batch)
         pred = np.asarray(eval_step(
-            state, jnp.asarray(trainer.x[batch.node_ids]), g,
+            state, jnp.asarray(x_rows), g,
             jnp.asarray(batch.node_mask)))
         lab = trainer.label[batch.node_ids[: batch.num_seeds]]
         # ours: _sweep's accumulation

@@ -44,7 +44,14 @@ class FeatureStore:
         return store
 
     def __getitem__(self, idx):
-        # fancy-index gather copies just the requested rows into RAM
+        # row gather copies just the requested rows into RAM.  np.take is
+        # measurably faster than fancy indexing for large cold gathers
+        # (scripts/microbench_sampled_step.py) and equal when warm.
+        idx = np.asarray(idx)
+        if idx.ndim == 1 and np.issubdtype(idx.dtype, np.integer):
+            return np.take(self._mm, idx, axis=0).astype(
+                np.float32, copy=False
+            )
         return np.asarray(self._mm[idx], dtype=np.float32)
 
     def __len__(self):

@@ -60,6 +60,17 @@ class SampledTrainConfig(TrainConfig):
     model_dir: str = "models/ckpt"
     use_pretrained: bool = False
     prefetch_depth: int = 2
+    # sweep the TRAIN split each eval epoch?  The reference's 100M loop
+    # never computes train accuracy (only valid/test sweeps,
+    # nb-sample.py:176-191) — at papers100M scale a train sweep is ~10x
+    # the valid+test work per epoch.  Off = record 0.0 for train.
+    eval_train: bool = False
+    # dtype of the per-batch feature buffer shipped host->device.
+    # 'auto' = bf16 when the model's compute_dtype is bf16 (the model
+    # casts x to bf16 at entry, sgformer.py:156-157, so a host-side cast
+    # is numerically identical and HALVES the dominant transfer), else
+    # f32.  'f32' forces full precision.
+    transfer_dtype: str = "auto"
 
 
 class SampledTrainer:
@@ -98,6 +109,42 @@ class SampledTrainer:
             edge_cap=config.edge_cap,
             seed=config.seed,
         )
+        self._transfer_cast = None
+        want = config.transfer_dtype
+        if want == "auto":
+            want = (
+                "bf16"
+                if getattr(getattr(model, "config", None), "compute_dtype",
+                           "f32") == "bf16"
+                else "f32"
+            )
+        if want == "bf16":
+            import ml_dtypes
+
+            self._transfer_cast = ml_dtypes.bfloat16
+
+    def _gather_x(self, node_ids: np.ndarray) -> np.ndarray:
+        """Per-batch feature rows, cast for transfer (run in the prefetch
+        thread so gather+cast overlap device compute)."""
+        x = self.x[node_ids]
+        if self._transfer_cast is not None:
+            x = x.astype(self._transfer_cast)
+        return x
+
+    def prepared_epoch(self, seeds: np.ndarray, *, shuffle: bool = True,
+                       workers: int = 0):
+        """Prefetched iterator of ``(batch, x_rows)``: sampling AND the
+        feature gather+cast run ahead of the device (the soak's
+        decomposition showed the gather is the largest host cost,
+        scripts/microbench_sampled_step.py — leaving it in the consume
+        loop serializes it with the step)."""
+
+        def produce():
+            for batch in self.sampler.epoch(seeds, shuffle=shuffle,
+                                            workers=workers):
+                yield batch, self._gather_x(batch.node_ids)
+
+        return PrefetchIterator(produce(), depth=self.config.prefetch_depth)
 
     def _steps(self, tx):
         cfg = self.config
@@ -154,16 +201,12 @@ class SampledTrainer:
     def _sweep(self, eval_step, state, seeds: np.ndarray):
         """Streaming accuracy over one split (nb-sample.py:38-45)."""
         total = correct = 0
-        it = PrefetchIterator(
-            self.sampler.epoch(seeds, shuffle=False),
-            depth=self.config.prefetch_depth,
-        )
-        for batch in it:
+        for batch, x_rows in self.prepared_epoch(seeds, shuffle=False):
             g = batch_graph(batch)
             pred = np.asarray(
                 eval_step(
                     state,
-                    jnp.asarray(self.x[batch.node_ids]),
+                    jnp.asarray(x_rows),
                     g,
                     jnp.asarray(batch.node_mask),
                 )
@@ -192,7 +235,7 @@ class SampledTrainer:
                 lambda r, x, g, nm: self.model.init(
                     {"params": r}, x, g, train=False, node_mask=nm
                 )
-            )(init_rng, jnp.asarray(self.x[warm.node_ids]), g0,
+            )(init_rng, jnp.asarray(self._gather_x(warm.node_ids)), g0,
               jnp.asarray(warm.node_mask))
             params = variables["params"]
             if cfg.use_pretrained:
@@ -212,28 +255,31 @@ class SampledTrainer:
 
             best_val = -1.0
             for epoch in range(cfg.epochs):
-                it = PrefetchIterator(
-                    self.sampler.epoch(train_seeds, shuffle=True),
-                    depth=cfg.prefetch_depth,
-                )
                 loss = jnp.zeros(())
-                for batch in it:
+                for batch, x_rows in self.prepared_epoch(
+                    train_seeds, shuffle=True
+                ):
                     g = batch_graph(batch)
                     rng, drop = jax.random.split(rng)
                     state, opt_state, loss = train_step(
                         state,
                         opt_state,
                         drop,
-                        jnp.asarray(self.x[batch.node_ids]),
+                        jnp.asarray(x_rows),
                         g,
                         jnp.asarray(self.label[batch.node_ids]),
                         jnp.asarray(batch.node_mask),
                         jnp.asarray(float(batch.num_seeds), jnp.float32),
                     )
+                splits = (
+                    ("train", "valid", "test") if cfg.eval_train
+                    else ("valid", "test")
+                )
                 accs = {
                     split: self._sweep(eval_step, state, np.asarray(split_idx[split]))
-                    for split in ("train", "valid", "test")
+                    for split in splits
                 }
+                accs.setdefault("train", 0.0)
                 logger.add_result(
                     run, (accs["train"], accs["valid"], accs["test"], 0.0)
                 )
