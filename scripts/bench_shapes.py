@@ -36,11 +36,19 @@ SHAPES = [
     # communities) + power-law hubs, ALL auto policies on (hub tail via
     # hub_rows=-1; slab_dtype='auto' is the default).  Re-anchors the
     # scale story off the uniform worst case (round-4 VERDICT weak #2).
-    ("clustered-1M", 1_000_000, 16_000_000, 128, 40,
+    # 8M directed -> ~16M after symmetrize+loops, matching the uniform
+    # soak row (scripts/soak_fullgraph_1m.py) edge-for-edge
+    ("clustered-1M", 1_000_000, 8_000_000, 128, 40,
      {"powerlaw": 1.1}, {"hub_rows": -1}),
-    # control: same graph, policies forced off (bf16, no hub tail)
-    ("clustered-1M-ctl", 1_000_000, 16_000_000, 128, 40,
-     {"powerlaw": 1.1}, {"slab_dtype": "bf16"}),
+    # control: same graph, policies forced off (bf16 compute dtype, no
+    # hub tail — 'compute' is the build_slabs name for the bf16 path)
+    ("clustered-1M-ctl", 1_000_000, 8_000_000, 128, 40,
+     {"powerlaw": 1.1}, {"slab_dtype": "compute"}),
+    # int8 forced at 1M: the regime the auto policy must AVOID (round-5:
+    # picking int8 here also disables the hub tail and the R49K plan
+    # OOMs HBM under the fused multi-step)
+    ("clustered-1M-i8", 1_000_000, 8_000_000, 128, 40,
+     {"powerlaw": 1.1}, {"slab_dtype": "int8", "slab_rows": 49152}),
 ]
 
 
@@ -49,8 +57,11 @@ def measure(name, n, e, f, c, k=10, blocks=3, synth_kwargs=None,
     t_host = time.perf_counter()
     ds = synthetic_dataset(num_nodes=n, num_edges=e, num_features=f,
                            num_classes=c, seed=0, **(synth_kwargs or {}))
+    sg = dict(slab_geometry or {})
+    slab_rows = sg.pop("slab_rows", 24576)
     graph = preprocess_graph(ds.graph["edge_index"], n, with_chunks=True,
-                             spmm_mode="ssel", slab_geometry=slab_geometry)
+                             spmm_mode="ssel", slab_rows=slab_rows,
+                             slab_geometry=sg or None)
     host_s = time.perf_counter() - t_host
     cfg = SGFormerConfig.large(256, c, trans_num_layers=1, gnn_num_layers=3,
                                graph_weight=0.5, compute_dtype="bf16")
@@ -90,7 +101,19 @@ if __name__ == "__main__":
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}", flush=True)
     wanted = [s for s in args.only.split(",") if s]
+
+    def _match(name):
+        # trailing '$' = exact name; otherwise substring
+        return any(
+            name == w[:-1] if w.endswith("$") else w in name
+            for w in wanted
+        )
+
     for name, n, e, f, c, sk, sg in SHAPES:
-        if wanted and not any(w in name for w in wanted):
+        if wanted and not _match(name):
             continue
-        measure(name, n, e, f, c, synth_kwargs=sk, slab_geometry=sg)
+        try:
+            measure(name, n, e, f, c, synth_kwargs=sk, slab_geometry=sg)
+        except Exception as err:  # one OOM must not kill the table
+            print(f"{name:12s} FAILED: {type(err).__name__}: "
+                  f"{str(err).splitlines()[0][:140]}", flush=True)

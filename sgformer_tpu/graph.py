@@ -250,6 +250,7 @@ def preprocess_graph(
     auto_slab_dtype = None
     if with_chunks and spmm_mode in ("slab", "ssel"):
         from sgformer_tpu.kernels.slabs import (
+            _AUTO_INT8_MAX_RANGES,
             _AUTO_INT8_SLAB_ROWS,
             choose_slab_dtype,
             reorder_for_slabs,
@@ -262,6 +263,10 @@ def preprocess_graph(
             spmm_mode == "ssel" and chunk_dtype == "bf16"
             and (slab_geometry or {}).get("slab_dtype", "auto") == "auto"
             and slab_rows < _AUTO_INT8_SLAB_ROWS
+            # outside int8's measured-win window the decision is always
+            # bf16 (choose_slab_dtype would say so) — skip the second
+            # packing entirely
+            and num_nodes <= _AUTO_INT8_MAX_RANGES * _AUTO_INT8_SLAB_ROWS
         )
         if want_auto:
             # one LPA pass, two packings: the int8 mode's value is the

@@ -448,7 +448,7 @@ def _slab_core_fwd(compute_dtype_name, interpret, x, plan):
 
 def _slab_core_bwd(compute_dtype_name, interpret, plan, g):
     dtype = jnp.float32 if compute_dtype_name == "float32" else jnp.bfloat16
-    dx = _apply_side(g, plan, plan.bwd, dtype, interpret)
+    dx = _apply_side(g, plan, plan.bwd_side, dtype, interpret)
     return dx, _zero_cotangent(plan)
 
 

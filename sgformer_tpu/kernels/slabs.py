@@ -205,6 +205,10 @@ class SlabSpMM:
     """Forward + transpose slab plans; self-loop weights are applied as a
     plain elementwise ``w_self ⊙ x`` (no gather, no matmul).
 
+    ``bwd`` is ``None`` for symmetric matrices (A == Aᵀ): the transpose
+    side IS ``fwd`` — stored once so the multi-GB selector streams count
+    once in XLA's argument accounting (``bwd_side`` resolves it).
+
     ``pre_scale`` (int8-selector mode): [n_pad] f32 ``rs`` with
     ``weight[e] == rs[src]*rs[dst]`` for every non-self edge (symmetric
     GCN normalization).  The kernel input is pre-scaled ``rs ⊙ x``, the
@@ -216,7 +220,7 @@ class SlabSpMM:
     in every ssel mode)."""
 
     fwd: SlabPlanSide
-    bwd: SlabPlanSide
+    bwd: Optional[SlabPlanSide]  # None when symmetric (bwd IS fwd)
     w_self: jax.Array  # [n_pad] f32
     num_nodes: int
     n_pad: int
@@ -230,6 +234,11 @@ class SlabSpMM:
     # transpose side quantizes gradients), so the bf16 default path is
     # never silently altered.  Requires sep (int8-selector) mode.
     slab_dtype: str = "compute"
+
+    @property
+    def bwd_side(self) -> SlabPlanSide:
+        """The transpose plan (``fwd`` itself for symmetric matrices)."""
+        return self.bwd if self.bwd is not None else self.fwd
 
 
 def _residency_base(src, dst, n_pad, W, H, R):
@@ -270,6 +279,12 @@ _AUTO_HUB_SLAB_ROWS = 16384  # R where the 6144-row tail still fits VMEM
 _AUTO_HUB_COVERAGE = 0.20  # min fraction of remote slots the tail captures
 _AUTO_HUB_REMOTE_SHARE = 0.10  # min remote fraction of all edges
 _AUTO_HUB_MIN_PAD = 8 * _AUTO_HUB_ROWS  # stay inside the measured regime
+_AUTO_HUB_MAX_PAD = 16 * _AUTO_HUB_SLAB_ROWS  # ... on BOTH ends: the
+# measured WIN is 169K-powerlaw (R16K covers ~10% of rows; 62.0 vs
+# 66.4 ms no-hub); the measured LOSS is clustered-1M-powerlaw (R16K
+# covers 1.6%; 798 vs 729 ms no-hub, round-5 bench_shapes) — shrinking
+# the residency 24K->16K costs more remote mass than the tail recovers
+# once the graph dwarfs the slab.
 
 
 def _auto_hub(src, dst, n_pad, window_rows, H, R):
@@ -279,8 +294,17 @@ def _auto_hub(src, dst, n_pad, window_rows, H, R):
     measured on the uniform/power-law bench graphs: top-6144 remote-slot
     coverage 0.18 vs 0.41 (scripts in BENCH.md "Hub-resident scratch
     tail"); graphs smaller than ``_AUTO_HUB_MIN_PAD`` rows keep hub off —
-    the residency already covers most of them."""
+    the residency already covers most of them — and graphs larger than
+    ``_AUTO_HUB_MAX_PAD`` keep it off because the shrunk slab's lost
+    coverage outweighs the tail (both bounds measured, see above)."""
     if n_pad < _AUTO_HUB_MIN_PAD or not len(src):
+        return 0, R
+    if n_pad > _AUTO_HUB_MAX_PAD:
+        print(
+            f"[slabs] hub=auto: n_pad {n_pad:,} > {_AUTO_HUB_MAX_PAD:,} "
+            "(shrunk-slab coverage too low at this scale) => hub off",
+            file=sys.stderr,
+        )
         return 0, R
     R_hub = min(R, _AUTO_HUB_SLAB_ROWS)
     _, local = _residency_base(src, dst, n_pad, window_rows, H, R_hub)
@@ -291,6 +315,11 @@ def _auto_hub(src, dst, n_pad, window_rows, H, R):
     top = np.sort(cnt)[::-1][:_AUTO_HUB_ROWS].sum()
     if top < _AUTO_HUB_COVERAGE * len(cand):
         return 0, R
+    print(
+        f"[slabs] hub=auto: top-{_AUTO_HUB_ROWS} remote coverage "
+        f"{top / len(cand):.2f} => hub ON (R={R_hub})",
+        file=sys.stderr,
+    )
     return _AUTO_HUB_ROWS, R_hub
 
 
@@ -298,6 +327,13 @@ _AUTO_INT8_SLAB_ROWS = 49152  # doubled residency (bf16 R24576 x2)
 _AUTO_INT8_MIN_REMOVED_FRAC = 0.20  # min remote-edge-mass reduction
 _AUTO_INT8_MIN_REMOVED = 500_000  # absolute floor: covers the ~2.5 ms
 #                                   quantize overhead (BENCH.md int8 mode)
+_AUTO_INT8_MAX_RANGES = 12  # int8's window is graphs a HANDFUL of
+# resident ranges wide: the measured WIN is 400K nodes (8.1 ranges,
+# +12.5% end-to-end); the measured LOSSES are 1M-uniform (20 ranges,
+# R49K covers ~5% of rows, quantize overhead never bought back — BENCH
+# round 3) and clustered-power-law 1M, where picking int8 additionally
+# DISABLES the hub tail that graph actually needs (round 5).  Beyond
+# ~12 ranges the mass-reduction thresholds alone misfire.
 
 
 def choose_slab_dtype(num_edges, loc_lo, loc_hi, n_pad):
@@ -311,6 +347,16 @@ def choose_slab_dtype(num_edges, loc_lo, loc_hi, n_pad):
     if n_pad < 2 * _AUTO_INT8_SLAB_ROWS:
         # graphs ~the residency height keep bf16: nearly everything is
         # already local and the quantize pass is pure overhead
+        return "compute"
+    if n_pad > _AUTO_INT8_MAX_RANGES * _AUTO_INT8_SLAB_ROWS:
+        # far outside the measured-win window (see _AUTO_INT8_MAX_RANGES):
+        # doubled residency covers too small a row fraction to pay for
+        # the quantize pass, and bf16 keeps the hub tail available
+        print(
+            f"[slabs] slab_dtype=auto: n_pad {n_pad:,} > "
+            f"{_AUTO_INT8_MAX_RANGES} resident ranges => bf16",
+            file=sys.stderr,
+        )
         return "compute"
     rem_lo = (1.0 - loc_lo) * num_edges
     rem_hi = (1.0 - loc_hi) * num_edges
@@ -704,7 +750,12 @@ def build_slabs(
     fwd = _build_side(src, dst, weight, n_pad, **kw)
     if symmetric is None:
         symmetric = _is_symmetric(src, dst, weight, num_nodes)
-    bwd = fwd if symmetric else _build_side(dst, src, weight, n_pad, **kw)
+    # symmetric (A == Aᵀ): store bwd as None, NOT as a second reference
+    # to fwd — duplicate pytree leaves become two XLA parameters and the
+    # AOT compiler's HBM accounting double-counts the multi-GB selector
+    # streams (round-5: the clustered-1M compile OOM'd on exactly this;
+    # the consumer resolves None -> fwd via SlabSpMM.bwd_side)
+    bwd = None if symmetric else _build_side(dst, src, weight, n_pad, **kw)
     return SlabSpMM(
         fwd=fwd, bwd=bwd, w_self=jnp.asarray(w_self),
         num_nodes=int(num_nodes), n_pad=int(n_pad),
