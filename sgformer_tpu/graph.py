@@ -338,12 +338,36 @@ def preprocess_graph(
                     # The f32 path is untouched; explicit slab_dtype
                     # overrides (want_auto false above).
                     geo["slab_dtype"] = auto_slab_dtype
-        chunks = build_slabs(src, dst, weight, num_nodes,
-                             slab_rows=slab_rows, **geo)
+        def _slabs_with_fallback(s_, d_, w_):
+            from sgformer_tpu.kernels.slabs import SelectorBudgetError
+
+            try:
+                return build_slabs(s_, d_, w_, num_nodes,
+                                   slab_rows=slab_rows, **geo)
+            except SelectorBudgetError as err:
+                # the ssel selector streams would not fit HBM (power-law
+                # local fill inflates them — round-5 clustered-1M): fall
+                # back to the meta-mode kernel, whose selectors build
+                # in-kernel (O(E) plan bytes, ~20% slower step)
+                import sys as _sys
+
+                print(
+                    f"[slabs] {err}; falling back to meta-mode slab "
+                    "kernel (in-kernel selector build)",
+                    file=_sys.stderr,
+                )
+                geo_meta = {
+                    k: v for k, v in geo.items()
+                    if k not in ("stream_sel", "sep_rs", "slab_dtype",
+                                 "hub_rows", "sel_budget_bytes")
+                }
+                return build_slabs(s_, d_, w_, num_nodes,
+                                   slab_rows=slab_rows, **geo_meta)
+
+        chunks = _slabs_with_fallback(src, dst, weight)
         if pyg_np is not None:
-            pyg_chunks = build_slabs(
-                pyg_np[0], pyg_np[1], pyg_np[2], num_nodes,
-                slab_rows=slab_rows, **geo,
+            pyg_chunks = _slabs_with_fallback(
+                pyg_np[0], pyg_np[1], pyg_np[2]
             )
     elif with_chunks:
         from sgformer_tpu.kernels.chunks import build_chunks

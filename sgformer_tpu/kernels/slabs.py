@@ -374,10 +374,24 @@ def choose_slab_dtype(num_edges, loc_lo, loc_hi, n_pad):
     return "int8" if pick else "compute"
 
 
+class SelectorBudgetError(ValueError):
+    """The prebuilt ssel selector streams would exceed the HBM budget —
+    callers (``preprocess_graph``) fall back to the meta-mode kernel
+    (in-kernel selector build: O(E) plan bytes, ~20% slower step)."""
+
+    def __init__(self, nbytes: int, budget: int):
+        super().__init__(
+            f"stream_sel selector arrays would be {nbytes / 2**20:,.0f} MB "
+            f"(> budget {budget / 2**20:,.0f} MB)"
+        )
+        self.nbytes = nbytes
+        self.budget = budget
+
+
 def _build_side(
     src, dst, weight, n_pad, *, W, B, C, Q, R, H, min_pair,
     remote_window_rows=1024, remote_chunk_edges=1024, stream_sel=None,
-    sep_rs=None, hub_rows=0,
+    sep_rs=None, hub_rows=0, sel_budget_bytes=8 << 30,
 ) -> SlabPlanSide:
     """Edges must be relabeled to the packed order and EXCLUDE self-loops.
 
@@ -539,12 +553,8 @@ def _build_side(
         sel_bytes = n_steps * Q * C * (
             B * src_dt.itemsize + W * dst_dt.itemsize
         )
-        if sel_bytes > 8 * 2**30:
-            raise ValueError(
-                f"stream_sel selector arrays would be "
-                f"{sel_bytes/2**30:.1f} GB; use meta mode (or a coarser "
-                f"geometry) at this scale"
-            )
+        if sel_bytes > sel_budget_bytes:
+            raise SelectorBudgetError(sel_bytes, sel_budget_bytes)
         sel_src_a = np.zeros((n_steps, Q * C, B), dtype=src_dt)
         sel_dst_a = np.zeros((n_steps, W, Q * C), dtype=dst_dt)
     else:
@@ -663,6 +673,7 @@ def build_slabs(
     sep_rs: Optional[np.ndarray] = None,
     hub_rows: int | str = 0,
     slab_dtype: str = "compute",
+    sel_budget_bytes: int = 8 << 30,
 ) -> SlabSpMM:
     """Build fwd + transpose slab plans.  Edges must already be relabeled
     into the packed (clustered) node order — see
@@ -739,7 +750,8 @@ def build_slabs(
               R=R, H=H, min_pair=min_pair,
               remote_window_rows=remote_window_rows,
               remote_chunk_edges=remote_chunk_edges, stream_sel=stream_sel,
-              sep_rs=sep_rs, hub_rows=hub_rows)
+              sep_rs=sep_rs, hub_rows=hub_rows,
+              sel_budget_bytes=sel_budget_bytes)
     if slab_dtype not in ("compute", "int8"):
         raise ValueError(f"slab_dtype must be 'compute'|'int8', got {slab_dtype!r}")
     if slab_dtype == "int8" and sep_rs is None:

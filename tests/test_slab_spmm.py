@@ -797,3 +797,34 @@ def test_auto_slab_dtype_explicit_override():
                          chunk_dtype="bf16", chunk_interpret=True,
                          slab_geometry={"slab_dtype": "int8"})
     assert g.chunks.slab_dtype == "int8"
+
+
+def test_selector_budget_falls_back_to_meta():
+    """When the prebuilt ssel selector streams exceed the HBM budget
+    (power-law local fill at 1M+ nodes, round-5), preprocess falls back
+    to the meta-mode kernel (in-kernel selector build) instead of dying —
+    and the aggregation output is unchanged."""
+    from sgformer_tpu.data.loaders import synthetic_dataset
+    from sgformer_tpu.graph import preprocess_graph
+
+    ds = synthetic_dataset(num_nodes=300, num_edges=2400, num_features=16,
+                           num_classes=4, seed=9)
+    g_ssel = preprocess_graph(
+        ds.graph["edge_index"], ds.num_nodes, with_chunks=True,
+        spmm_mode="ssel", slab_rows=128, chunk_dtype="f32",
+        chunk_interpret=True,
+    )
+    assert g_ssel.chunks.fwd.sel_src is not None
+    g_fb = preprocess_graph(
+        ds.graph["edge_index"], ds.num_nodes, with_chunks=True,
+        spmm_mode="ssel", slab_rows=128, chunk_dtype="f32",
+        chunk_interpret=True,
+        slab_geometry={"sel_budget_bytes": 1024},  # force the fallback
+    )
+    assert g_fb.chunks.fwd.sel_src is None
+    assert g_fb.chunks.fwd.meta is not None
+    x = np.random.default_rng(0).standard_normal(
+        (ds.num_nodes, 16)).astype(np.float32)
+    a = np.asarray(g_ssel.propagate(jnp.asarray(x[g_ssel.node_perm])))
+    b = np.asarray(g_fb.propagate(jnp.asarray(x[g_fb.node_perm])))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
