@@ -122,6 +122,11 @@ def build_undirected_csr(
             d, s = pair[:, 0], pair[:, 1]
             lo_node = b * bucket_size
             hi_node = min(lo_node + bucket_size, num_nodes)
+            if hi_node <= lo_node:
+                # bucket range entirely beyond num_nodes (small n with
+                # many buckets): nothing to emit
+                os.unlink(bucket_paths[b])
+                continue
             if len(d):
                 order = np.lexsort((s, d))
                 d, s = d[order], s[order]

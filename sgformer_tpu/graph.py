@@ -265,8 +265,11 @@ def preprocess_graph(
             and slab_rows < _AUTO_INT8_SLAB_ROWS
             # outside int8's measured-win window the decision is always
             # bf16 (choose_slab_dtype would say so) — skip the second
-            # packing entirely
-            and num_nodes <= _AUTO_INT8_MAX_RANGES * _AUTO_INT8_SLAB_ROWS
+            # packing entirely.  Guard on the same padded quantity
+            # choose_slab_dtype checks so no graph pays the packing only
+            # to be rejected.
+            and max(num_nodes, slab_rows)
+            <= _AUTO_INT8_MAX_RANGES * _AUTO_INT8_SLAB_ROWS
         )
         if want_auto:
             # one LPA pass, two packings: the int8 mode's value is the

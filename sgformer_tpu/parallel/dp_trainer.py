@@ -87,11 +87,19 @@ class DPBatchTrainer:
             train_set = np.zeros(self.num_nodes, dtype=bool)
             train_set[np.asarray(split_idx["train"])] = True
 
-            # init on a warm dp-batch under shard_map
-            warm = [np.arange(g * B, (g + 1) * B) for g in range(self.dp)]
+            # init on a warm dp-batch under shard_map; when the dataset is
+            # smaller than B*dp the warm groups are short (padded+masked
+            # like the epoch's remainder step)
+            avail = np.arange(min(self.num_nodes, B * self.dp))
+            szs = [
+                len(avail) // self.dp + (g < len(avail) % self.dp)
+                for g in range(self.dp)
+            ]
+            off = np.concatenate([[0], np.cumsum(szs)])
+            warm = [avail[off[g]:off[g + 1]][:B] for g in range(self.dp)]
             graph, idx, nmask = build_dp_sp_batch(
                 self.edge_index, warm, self.num_nodes, sp=self.sp,
-                edge_cap=edge_cap,
+                edge_cap=edge_cap, pad_nodes_to=B,
             )
             rng, init_rng = jax.random.split(rng)
             variables = jax.jit(jax.shard_map(
@@ -159,15 +167,10 @@ class DPBatchTrainer:
 
     def _make_eval(self, edge_cap):
         """Streaming eval: dp groups each evaluate their own batch slice."""
-        from sgformer_tpu.train.batch_trainer import build_subgraph_batch
+        from sgformer_tpu.train.batch_trainer import (_pad_rows,
+                                                      build_subgraph_batch)
 
         cfg = self.config
-
-        @jax.jit
-        def fwd(params, bs, x, graph):
-            return self.model.apply(
-                {"params": params, "batch_stats": bs}, x, graph, train=False,
-            )
 
         # single-device eval on unsharded subgraphs (model must accept
         # axis_name-free execution: rebuild an unsharded twin via config)
@@ -205,12 +208,7 @@ class DPBatchTrainer:
                         bucket=edge_cap * self.sp,
                         pad_nodes_to=B if k < B else None,
                     )
-                    xb = self.x[bidx]
-                    if k < B:
-                        xb = np.concatenate([
-                            xb,
-                            np.zeros((B - k, xb.shape[1]), dtype=xb.dtype),
-                        ])
+                    xb = _pad_rows(self.x[bidx], B)
                     nm = np.zeros(B, dtype=np.float32)
                     nm[:k] = 1.0
                     out = np.asarray(

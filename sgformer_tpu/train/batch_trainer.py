@@ -371,11 +371,7 @@ class BatchTrainer:
                 bidx = perm[i : i + B]
                 r = len(bidx)
                 gb = self._build_batch(bidx, which="eval", pad_nodes_to=B)
-                xb = self.x[bidx]
-                if r < B:
-                    xb = np.concatenate(
-                        [xb, np.zeros((B - r, xb.shape[1]), dtype=xb.dtype)]
-                    )
+                xb = _pad_rows(self.x[bidx], B)
                 nm = np.zeros(B, dtype=np.float32)
                 nm[:r] = 1.0
                 yield bidx, r, gb, xb, nm

@@ -112,3 +112,21 @@ def test_isolated_nodes_get_self_loops(tmp_path):
     assert (deg[10:] == 1).all()
     for i in range(10, 20):
         assert csr.indices[csr.indptr[i]] == i
+
+
+@pytest.mark.parametrize("n,buckets", [(100, 16), (17, 7), (5, 16)])
+def test_bucket_ranges_beyond_num_nodes(tmp_path, n, buckets):
+    """Bucket ranges past num_nodes (small n, many buckets) must emit
+    nothing instead of crashing np.bincount with a negative minlength
+    (round-5 review finding)."""
+    rng = np.random.default_rng(n)
+    edges = np.stack([rng.integers(0, n, 40), rng.integers(0, n, 40)]).astype(
+        np.int64
+    )
+    out = build_undirected_csr(
+        edges, n, str(tmp_path / f"csr_small_{n}"), num_buckets=buckets
+    )
+    got = load_csr(out)
+    want = _oracle_csr(edges, n)
+    np.testing.assert_array_equal(got.indptr, want.indptr)
+    np.testing.assert_array_equal(got.indices, want.indices)
