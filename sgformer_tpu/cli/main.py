@@ -215,6 +215,8 @@ def main(argv=None):
                 save_model=args.save_model,
                 use_pretrained=args.use_pretrained,
                 model_dir=args.model_dir,
+                eval_train=getattr(args, "eval_train", False),
+                transfer_dtype=getattr(args, "transfer_dtype", "auto"),
             ),
         )
     else:

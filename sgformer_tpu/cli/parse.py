@@ -141,6 +141,18 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
     parser.add_argument("--save_model", action="store_true")
     parser.add_argument("--use_pretrained", action="store_true")
     parser.add_argument("--model_dir", type=str, default="models/ckpt")
+    parser.add_argument("--eval_train", action="store_true",
+                        help="sampled trainer: also sweep the TRAIN split "
+                             "each eval epoch (the reference's 100M loop "
+                             "sweeps only valid/test, nb-sample.py:176-191;"
+                             " a papers100M train sweep is ~10x the "
+                             "valid+test work)")
+    parser.add_argument("--transfer_dtype", type=str, default="auto",
+                        choices=["auto", "bf16", "f32"],
+                        help="sampled trainer: dtype of the per-batch "
+                             "feature buffer shipped host->device ('auto' "
+                             "= bf16 on the bf16 compute path — identical "
+                             "numerics, half the transfer)")
     # outputs
     parser.add_argument("--time_test", action="store_true",
                         help="timing/memory benchmark instead of training "

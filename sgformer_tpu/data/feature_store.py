@@ -14,7 +14,14 @@ import numpy as np
 
 
 class FeatureStore:
-    """numpy-indexable view over a memory-mapped [N, F] float array."""
+    """numpy-indexable view over a memory-mapped [N, F] float array.
+
+    ``dtype`` may be ``ml_dtypes.bfloat16``: a bf16 store HALVES the
+    on-disk footprint and per-gather page IO (papers100M: 57 → 28 GB) and
+    is numerically free on the bf16 compute path — the model casts x to
+    bf16 at entry anyway (``nn/sgformer.py:156-157``).  Gathered rows are
+    returned in the STORED dtype; trainers cast per their
+    ``transfer_dtype`` policy."""
 
     def __init__(self, path: str, shape, dtype=np.float32, mode: str = "r"):
         self.path = str(path)
@@ -24,9 +31,11 @@ class FeatureStore:
                              shape=self.shape)
 
     @classmethod
-    def create(cls, path: str, array: np.ndarray) -> "FeatureStore":
-        """Persist an in-memory array as a feature store."""
-        array = np.ascontiguousarray(array, dtype=np.float32)
+    def create(cls, path: str, array: np.ndarray,
+               dtype=np.float32) -> "FeatureStore":
+        """Persist an in-memory array as a feature store (cast to
+        ``dtype`` — pass ``ml_dtypes.bfloat16`` for a half-size store)."""
+        array = np.ascontiguousarray(array).astype(dtype, copy=False)
         mm = np.memmap(path, dtype=array.dtype, mode="w+", shape=array.shape)
         mm[:] = array
         mm.flush()
@@ -44,15 +53,14 @@ class FeatureStore:
         return store
 
     def __getitem__(self, idx):
-        # row gather copies just the requested rows into RAM.  np.take is
-        # measurably faster than fancy indexing for large cold gathers
-        # (scripts/microbench_sampled_step.py) and equal when warm.
+        # row gather copies just the requested rows into RAM, in the
+        # STORED dtype (f32 stores behave as before; bf16 stores return
+        # bf16 rows).  np.take is measurably faster than fancy indexing
+        # for large cold gathers (scripts/microbench_sampled_step.py).
         idx = np.asarray(idx)
         if idx.ndim == 1 and np.issubdtype(idx.dtype, np.integer):
-            return np.take(self._mm, idx, axis=0).astype(
-                np.float32, copy=False
-            )
-        return np.asarray(self._mm[idx], dtype=np.float32)
+            return np.take(self._mm, idx, axis=0)
+        return np.asarray(self._mm[idx])
 
     def __len__(self):
         return self.shape[0]

@@ -125,11 +125,16 @@ class SampledTrainer:
 
     def _gather_x(self, node_ids: np.ndarray) -> np.ndarray:
         """Per-batch feature rows, cast for transfer (run in the prefetch
-        thread so gather+cast overlap device compute)."""
+        thread so gather+cast overlap device compute).  A bf16
+        FeatureStore's rows pass through uncast on the bf16 path; the f32
+        path always receives f32 (the exactness invariant)."""
         x = self.x[node_ids]
-        if self._transfer_cast is not None:
-            x = x.astype(self._transfer_cast)
-        return x
+        want = (
+            self._transfer_cast
+            if self._transfer_cast is not None
+            else np.float32
+        )
+        return x.astype(want, copy=False)
 
     def prepared_epoch(self, seeds: np.ndarray, *, shuffle: bool = True,
                        workers: int = 0):

@@ -233,6 +233,42 @@ def test_sampled_trainer_with_feature_store(ds, tmp_path):
     assert logger.results[0]
 
 
+def test_sampled_trainer_bf16_feature_store(ds, tmp_path):
+    """A bf16 FeatureStore (half disk + gather IO) drives the bf16-path
+    sampled trainer: rows pass through uncast (the model casts x to bf16
+    at entry anyway), while an f32-path trainer always receives f32 rows
+    (the exactness invariant)."""
+    import ml_dtypes
+
+    from sgformer_tpu.data import FeatureStore
+
+    n = ds.num_nodes
+    edge_index = _undirected(ds.graph["edge_index"], n)
+    store = FeatureStore.create(
+        str(tmp_path / "feat16.bin"), ds.graph["node_feat"],
+        dtype=ml_dtypes.bfloat16,
+    )
+    assert store.dtype == ml_dtypes.bfloat16
+    assert store[np.arange(4)].dtype == ml_dtypes.bfloat16
+
+    cfg = SampledTrainConfig(
+        lr=0.01, epochs=2, batch_size=100, fanouts=(5, 3), display_step=-1
+    )
+    model16 = SGFormer(
+        SGFormerConfig.papers100m(16, ds.num_classes, compute_dtype="bf16")
+    )
+    tr16 = SampledTrainer(model16, edge_index, store, ds.label, cfg)
+    assert tr16._gather_x(np.arange(4)).dtype == ml_dtypes.bfloat16
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+    logger = tr16.fit([split])
+    assert logger.results[0]
+
+    # f32-path trainer on the same store still receives f32 rows
+    model32 = SGFormer(SGFormerConfig.papers100m(16, ds.num_classes))
+    tr32 = SampledTrainer(model32, edge_index, store, ds.label, cfg)
+    assert tr32._gather_x(np.arange(4)).dtype == np.float32
+
+
 def test_batch_subgraph_pallas_chunks_match_xla(ds):
     """Fixed-shape chunk plans on batch subgraphs: same aggregation as the
     XLA path, identical plan shapes across different batches."""
