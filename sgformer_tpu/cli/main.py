@@ -217,6 +217,7 @@ def main(argv=None):
                 model_dir=args.model_dir,
                 eval_train=getattr(args, "eval_train", False),
                 transfer_dtype=getattr(args, "transfer_dtype", "auto"),
+                sampler_workers=getattr(args, "sampler_workers", 0),
             ),
         )
     else:

@@ -153,6 +153,12 @@ def parser_add_main_args(parser: argparse.ArgumentParser):
                              "feature buffer shipped host->device ('auto' "
                              "= bf16 on the bf16 compute path — identical "
                              "numerics, half the transfer)")
+    parser.add_argument("--sampler_workers", type=int, default=0,
+                        help="sampled trainer: concurrent sampling "
+                             "threads (GIL-released C++ sampler; the "
+                             "reference hardcodes num_workers=12, "
+                             "nb-sample.py:131); 0 = single prefetch "
+                             "thread")
     # outputs
     parser.add_argument("--time_test", action="store_true",
                         help="timing/memory benchmark instead of training "

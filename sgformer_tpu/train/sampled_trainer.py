@@ -71,6 +71,12 @@ class SampledTrainConfig(TrainConfig):
     # is numerically identical and HALVES the dominant transfer), else
     # f32.  'f32' forces full precision.
     transfer_dtype: str = "auto"
+    # concurrent sampling threads (the C++ sampler releases the GIL —
+    # PyG's num_workers equivalent, nb-sample.py:131).  Measured 2-4x on
+    # a 4-core host at the 10M CSR (docs/PAPERS100M.md); matters when
+    # the sampler, not the device, bounds the pipeline (papers100M
+    # depth).  0 = sample in the single prefetch thread.
+    sampler_workers: int = 0
 
 
 class SampledTrainer:
@@ -137,12 +143,15 @@ class SampledTrainer:
         return x.astype(want, copy=False)
 
     def prepared_epoch(self, seeds: np.ndarray, *, shuffle: bool = True,
-                       workers: int = 0):
+                       workers: Optional[int] = None):
         """Prefetched iterator of ``(batch, x_rows)``: sampling AND the
         feature gather+cast run ahead of the device (the soak's
         decomposition showed the gather is the largest host cost,
         scripts/microbench_sampled_step.py — leaving it in the consume
         loop serializes it with the step)."""
+
+        if workers is None:
+            workers = self.config.sampler_workers
 
         def produce():
             for batch in self.sampler.epoch(seeds, shuffle=shuffle,
