@@ -63,6 +63,8 @@ COMPONENTS = [
     ("sgformer_tpu.data.loaders", "load_fb100"),
     ("sgformer_tpu.data.loaders", "load_twitch"),
     ("sgformer_tpu.data.loaders", "load_geom_gcn"),
+    ("sgformer_tpu.data.prep", "build_undirected_csr"),
+    ("sgformer_tpu.data.prep", "load_csr"),
     ("sgformer_tpu.train", "RunLogger"),
     # §2.4 native equivalents
     ("sgformer_tpu.kernels", "chunked_spmm"),
