@@ -597,3 +597,42 @@ def test_rbg_rng_trains(ds):
     logger = trainer.fit([ds.get_idx_split(rng=np.random.default_rng(0))],
                          rng=rbg)
     assert logger.run_summary(0)["final_test"] > 0.5
+
+
+def test_streaming_eval_bucket_overflow_escalates(ds):
+    """The eval sweep's bucket escalates independently of training: a
+    hub-clique eval batch overflowing the heuristic bucket must rebuild
+    at a larger rung inside the prefetch producer instead of killing the
+    sweep (round-5; the train side has its own test above)."""
+    n = ds.num_nodes
+    base = _undirected(ds.graph["edge_index"], n)
+    k = 150
+    cl = np.stack([np.repeat(np.arange(k), k), np.tile(np.arange(k), k)])
+    cl = cl[:, cl[0] != cl[1]]
+    edge_index = np.concatenate([np.asarray(base), cl], axis=1)
+    cfg = BatchTrainConfig(
+        lr=0.01, epochs=1, eval_step=1, batch_size=k, ladder_base=1024,
+        eval_mode="batch", display_step=-1,
+    )
+    model = SGFormer(SGFormerConfig.large(16, ds.num_classes))
+    trainer = BatchTrainer(
+        model, edge_index, ds.graph["node_feat"], ds.label, cfg,
+    )
+    trainer._bucket = trainer._eval_bucket = 2048  # too small for the clique
+    warm = trainer._build_batch(np.arange(k))  # escalates the TRAIN bucket
+    variables = jax.jit(
+        lambda r, x, g: model.init({"params": r}, x, g, train=False)
+    )(jax.random.PRNGKey(0),
+      jnp.asarray(np.asarray(ds.graph["node_feat"])[:k]), warm)
+    state = {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}
+    split = ds.get_idx_split(rng=np.random.default_rng(0))
+
+    class CliqueFirst:
+        def permutation(self, m):
+            return np.arange(m)  # first eval batch = the clique
+
+    assert trainer._eval_bucket == 2048
+    accs = trainer._eval_streaming(state, split, CliqueFirst())
+    assert trainer._eval_bucket >= k * (k - 1)  # escalated
+    assert all(0.0 <= v <= 1.0 for v in accs.values())
