@@ -273,17 +273,37 @@ class NeighborSampler:
             for i in starts:
                 yield self.sample(pool[i: i + self.batch_size])
             return
+        from collections import deque
         from concurrent.futures import ThreadPoolExecutor
 
         # pre-draw per-batch seeds: numpy Generators are not thread-safe
         seeds = [int(self.rng.integers(2**62)) for _ in starts]
+        # BOUNDED submission window: submitting the whole epoch up front
+        # lets producers that outrun the consumer buffer every completed
+        # batch (~50 MB each at papers100M caps — an unbounded-memory
+        # hazard over a 1200-batch epoch).  At most ``2*workers`` batches
+        # are in flight or awaiting consumption; in-order delivery.
+        window = max(2 * workers, 2)
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            futs = [
-                ex.submit(self.sample, pool[i: i + self.batch_size], sd)
-                for i, sd in zip(starts, seeds)
-            ]
-            for f in futs:
-                yield f.result()
+            work = iter(zip(starts, seeds))
+            futs = deque()
+
+            def submit_next():
+                try:
+                    i, sd = next(work)
+                except StopIteration:
+                    return
+                futs.append(
+                    ex.submit(self.sample, pool[i: i + self.batch_size], sd)
+                )
+
+            for _ in range(window):
+                submit_next()
+            while futs:
+                f = futs.popleft()
+                batch = f.result()
+                submit_next()
+                yield batch
 
 
 class _ProducerError:
